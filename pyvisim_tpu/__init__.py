@@ -1,0 +1,27 @@
+"""pyvisim_tpu — TPU-native image-similarity framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capability surface of
+MechaCritter/Python-Visual-Similarity (pyvisim v0.1.3): VLAD and Fisher
+Vector descriptor-aggregation encoders over SIFT / RootSIFT / deep-CNN
+features, with PCA, multi-encoder pipelines, retrieval evaluation, the
+Oxford Flowers-102 dataset, on-TPU vocabulary training (KMeans/GMM/PCA),
+segmentation losses and a Siamese embedding head.
+
+Public subpackages mirror the reference's layout
+(reference: pyvisim/__init__.py:1-4):
+``datasets``, ``encoders``, ``features``, ``eval`` — plus the new
+TPU-native layers ``ops``, ``models``, ``parallel``.
+"""
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "datasets",
+    "encoders",
+    "features",
+    "eval",
+    "ops",
+    "models",
+    "parallel",
+    "losses",
+]

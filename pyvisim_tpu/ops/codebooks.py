@@ -1,0 +1,161 @@
+"""Codebook pytrees: the statistical "vocabulary" models owned by encoders.
+
+The reference holds live sklearn estimators (KMeans / diag-GaussianMixture /
+PCA) inside each encoder and pickles them to disk
+(reference: pyvisim/encoders/_base_encoder.py:117-155, pyvisim/_utils.py:830-850).
+The TPU-native design replaces them with immutable JAX pytrees of plain
+arrays, serialized as ``.npz`` — jit/pjit-friendly, shardable, and free of
+pickle security issues. A converter from the reference's sklearn pickles
+lives in ``tools/convert_sklearn_pickles.py``.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+__all__ = [
+    "KMeansCodebook",
+    "GmmCodebook",
+    "PcaProjector",
+    "save_codebook",
+    "load_codebook",
+]
+
+
+@struct.dataclass
+class PcaProjector:
+    """PCA projection ``y = (x - mean) @ components.T`` (+ optional whitening).
+
+    Equivalent capability: sklearn ``PCA.transform`` as called at
+    reference pyvisim/encoders/vlad.py:90 and fisher_vector.py:92.
+
+    mean: (D_in,), components: (D_out, D_in), explained_variance: (D_out,)
+    """
+
+    mean: jnp.ndarray
+    components: jnp.ndarray
+    explained_variance: jnp.ndarray | None = None
+    whiten: bool = struct.field(pytree_node=False, default=False)
+
+    @property
+    def n_features_in(self) -> int:
+        return self.components.shape[1]
+
+    @property
+    def n_components(self) -> int:
+        return self.components.shape[0]
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.dot(
+            x - self.mean, self.components.T, preferred_element_type=jnp.float32
+        )
+        if self.whiten:
+            y = y / jnp.sqrt(self.explained_variance)
+        return y
+
+    @classmethod
+    def from_sklearn(cls, pca: Any) -> "PcaProjector":
+        return cls(
+            mean=jnp.asarray(pca.mean_, jnp.float32),
+            components=jnp.asarray(pca.components_, jnp.float32),
+            explained_variance=jnp.asarray(pca.explained_variance_, jnp.float32),
+            whiten=bool(getattr(pca, "whiten", False)),
+        )
+
+
+@struct.dataclass
+class KMeansCodebook:
+    """K-Means vocabulary: cluster centers only (hard assignment).
+
+    Equivalent capability: sklearn ``KMeans`` as used by VLAD
+    (reference: pyvisim/encoders/vlad.py:95-104).
+
+    centers: (K, D)
+    """
+
+    centers: jnp.ndarray
+
+    @property
+    def n_clusters(self) -> int:
+        return self.centers.shape[0]
+
+    @property
+    def n_features_in(self) -> int:
+        return self.centers.shape[1]
+
+    @classmethod
+    def from_sklearn(cls, kmeans: Any) -> "KMeansCodebook":
+        return cls(centers=jnp.asarray(kmeans.cluster_centers_, jnp.float32))
+
+
+@struct.dataclass
+class GmmCodebook:
+    """Diagonal-covariance Gaussian mixture vocabulary.
+
+    Equivalent capability: sklearn ``GaussianMixture(covariance_type='diag')``
+    as used by the Fisher Vector encoder
+    (reference: pyvisim/encoders/fisher_vector.py:95-120).
+
+    weights: (K,), means: (K, D), covariances: (K, D)
+    """
+
+    weights: jnp.ndarray
+    means: jnp.ndarray
+    covariances: jnp.ndarray
+
+    @property
+    def n_components(self) -> int:
+        return self.means.shape[0]
+
+    @property
+    def n_features_in(self) -> int:
+        return self.means.shape[1]
+
+    @classmethod
+    def from_sklearn(cls, gmm: Any) -> "GmmCodebook":
+        if getattr(gmm, "covariance_type", "diag") != "diag":
+            raise ValueError(
+                "Only diag-covariance GMMs are supported "
+                f"(got covariance_type={gmm.covariance_type!r})."
+            )
+        return cls(
+            weights=jnp.asarray(gmm.weights_, jnp.float32),
+            means=jnp.asarray(gmm.means_, jnp.float32),
+            covariances=jnp.asarray(gmm.covariances_, jnp.float32),
+        )
+
+
+_KIND_TO_CLS = {
+    "kmeans": KMeansCodebook,
+    "gmm": GmmCodebook,
+    "pca": PcaProjector,
+}
+_CLS_TO_KIND = {v: k for k, v in _KIND_TO_CLS.items()}
+
+
+def save_codebook(path, codebook) -> None:
+    """Serialize a codebook pytree to ``.npz`` (replaces the reference's
+    joblib pickles; reference: pyvisim/_utils.py:830-850)."""
+    kind = _CLS_TO_KIND.get(type(codebook))
+    if kind is None:
+        raise TypeError(f"Not a known codebook type: {type(codebook)}")
+    arrays = {
+        k: np.asarray(v)
+        for k, v in vars(codebook).items()
+        if v is not None and not isinstance(v, bool)
+    }
+    np.savez(path, __kind__=np.array(kind), **arrays)
+
+
+def load_codebook(path):
+    """Load a codebook pytree saved by :func:`save_codebook`."""
+    with np.load(path, allow_pickle=False) as data:
+        kind = str(data["__kind__"])
+        cls = _KIND_TO_CLS[kind]
+        kwargs = {
+            k: jnp.asarray(data[k]) for k in data.files if k != "__kind__"
+        }
+    return cls(**kwargs)

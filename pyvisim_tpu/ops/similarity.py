@@ -1,0 +1,44 @@
+"""Similarity kernels.
+
+TPU-native replacement for the reference's sklearn-BLAS cosine similarity
+(reference: pyvisim/_utils.py:312-330): an L2-normalize fused into a single
+MXU matmul. The sharded multi-chip variant lives in
+``pyvisim_tpu/parallel/``.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["cosine_similarity_matrix", "pairwise_euclidean"]
+
+
+def _l2_normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Row L2 normalize; zero rows stay zero (sklearn ``normalize`` puts 1 in
+    the denominator for zero-norm rows, which our parity layer relies on)."""
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return x / jnp.where(norm == 0.0, 1.0, norm)
+
+
+@jax.jit
+def cosine_similarity_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Cosine similarity matrix ``(N, M)`` between row sets ``x (N, D)`` and
+    ``y (M, D)``.
+
+    Matches sklearn ``cosine_similarity`` semantics as used at reference
+    pyvisim/_utils.py:330 (zero vectors yield similarity 0, not NaN).
+    """
+    xn = _l2_normalize_rows(x.astype(jnp.float32))
+    yn = _l2_normalize_rows(y.astype(jnp.float32))
+    return jnp.dot(xn, yn.T, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def pairwise_euclidean(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distance matrix ``(N, M)`` in matmul form (clamped at 0)."""
+    x = x.astype(jnp.float32)
+    y = y.astype(jnp.float32)
+    x2 = jnp.sum(x * x, axis=-1, keepdims=True)
+    y2 = jnp.sum(y * y, axis=-1)
+    sq = x2 - 2.0 * jnp.dot(x, y.T, preferred_element_type=jnp.float32) + y2[None, :]
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
