@@ -1,0 +1,14 @@
+"""Encoder API (reference parity: pyvisim/encoders/__init__.py:1-12)."""
+from ._base_encoder import GMMWeights, ImageEncoderBase, KMeansWeights
+from .fisher_vector import FisherVectorEncoder
+from .pipeline import Pipeline
+from .vlad import VLADEncoder
+
+__all__ = [
+    "VLADEncoder",
+    "FisherVectorEncoder",
+    "Pipeline",
+    "KMeansWeights",
+    "GMMWeights",
+    "ImageEncoderBase",
+]

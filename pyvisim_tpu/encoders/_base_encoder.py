@@ -1,0 +1,530 @@
+"""Encoder API base: weights registry, validation, and the shared engine.
+
+Capability parity with reference pyvisim/encoders/_base_encoder.py
+(244 LoC), redesigned TPU-first: encoders hold immutable codebook pytrees
+(ops/codebooks.py) instead of live sklearn estimators, and the whole
+features→PCA→assign→aggregate→normalize chain runs as one jitted batched
+graph per encoder. sklearn estimators are still *accepted* everywhere for
+drop-in compatibility and converted on assignment.
+"""
+from __future__ import annotations
+
+import abc
+import warnings
+from collections.abc import Iterator, MutableSequence
+from enum import Enum
+from functools import wraps
+from typing import Any, Callable, Iterable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._base_classes import FeatureExtractorBase, SimilarityMetric
+from .._config import MODEL_FILES_PATH, get_logger
+from .._errors import WeightsNotFoundError
+from ..ops import codebooks as cb
+from ..ops import gmm as gmm_ops
+from ..ops import kmeans as kmeans_ops
+from ..ops import pca as pca_ops
+from .._utils import cosine_similarity
+
+logger = get_logger("encoders")
+
+
+# ---------------------------------------------------------------------------
+# similarity_func validation (parity: _base_encoder.py:23-97)
+# ---------------------------------------------------------------------------
+def check_desired_output(
+    similarity_func: Callable[[np.ndarray, np.ndarray], Any],
+    vecs1: np.ndarray,
+    vecs2: np.ndarray,
+) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
+    """Probe a user similarity function with two matrices; degrade to a
+    row-pair fallback loop if it does not return an (N, M) ndarray.
+
+    Mirrors reference _base_encoder.py:23-71.
+    """
+    try:
+        out = similarity_func(vecs1, vecs2)
+    except Exception as e:  # noqa: BLE001 - mirror reference behavior
+        warnings.warn(
+            f"Similarity function threw an error: {e}. Falling back to row-wise loop."
+        )
+        return _make_fallback_func(similarity_func)
+
+    out = np.asarray(out) if isinstance(out, jnp.ndarray) else out
+    if not isinstance(out, np.ndarray):
+        warnings.warn(f"Expected a NumPy array, got {type(out)}. Using fallback method.")
+        return _make_fallback_func(similarity_func)
+
+    shape_ok = True
+    if out.ndim == 2:
+        if out.shape[0] != vecs1.shape[0] or out.shape[1] != vecs2.shape[0]:
+            shape_ok = False
+    elif out.ndim == 1 and out.size != 1:
+        shape_ok = False
+    if not shape_ok:
+        warnings.warn(
+            f"Output shape {out.shape} is not the expected (N, M). Expected output "
+            f"shape to be ({vecs1.shape[0]}, {vecs2.shape[0]}). Using fallback."
+        )
+        return _make_fallback_func(similarity_func)
+    return similarity_func
+
+
+def _make_fallback_func(
+    sim_func: Callable[[np.ndarray, np.ndarray], Any]
+) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
+    """Row-by-row wrapper for non-batch similarity functions
+    (mirrors reference _base_encoder.py:74-97)."""
+
+    def fallback(vecs1: np.ndarray, vecs2: np.ndarray) -> np.ndarray:
+        n, m = vecs1.shape[0], vecs2.shape[0]
+        out = np.zeros((n, m), dtype=np.float32)
+        for i in range(n):
+            for j in range(m):
+                out[i, j] = sim_func(vecs1[i : i + 1], vecs2[j : j + 1])
+        return out
+
+    return fallback
+
+
+def _tupleize_first_arg(func: Callable) -> Callable:
+    """Convert an iterator/list first argument to a tuple (hashable), parity
+    with reference _base_encoder.py:100-114."""
+
+    @wraps(func)
+    def wrapper(self, image_paths: Any, /, *args, **kwargs):
+        if isinstance(image_paths, (Iterator, MutableSequence)):
+            image_paths = tuple(image_paths)
+        return func(self, image_paths, *args, **kwargs)
+
+    return wrapper
+
+
+# ---------------------------------------------------------------------------
+# Pretrained-weights registry (parity: _base_encoder.py:117-155)
+# ---------------------------------------------------------------------------
+class _PretrainedModels(Enum):
+    """Enum of pretrained codebook artifacts (.npz files).
+
+    The reference ships joblib-pickled sklearn estimators; we ship .npz
+    codebooks converted by tools/convert_sklearn_pickles.py.
+    """
+
+    def load(self):
+        path = MODEL_FILES_PATH / self.value
+        if not path.exists():
+            raise WeightsNotFoundError(
+                f"Pretrained weights artifact {path.name} is not available in "
+                "this build (the reference mount omits the corresponding "
+                "pickle — see /root/reference/.MISSING_LARGE_BLOBS). Train a "
+                "vocabulary with encoder.learn(...) instead."
+            )
+        return cb.load_codebook(path)
+
+    @property
+    def available(self) -> bool:
+        return (MODEL_FILES_PATH / self.value).exists()
+
+
+class KMeansWeights(_PretrainedModels):
+    """K-Means vocabularies (parity: _base_encoder.py:124-130).
+
+    NOTE: all six KMeans pickles are absent from the reference mount
+    (.MISSING_LARGE_BLOBS), so these artifacts can only be produced by
+    retraining (encoder.learn on Oxford-102).
+    """
+
+    OXFORD102_K256_VGG16_PCA = "k_means_k256_deep_features_vgg16_pca.npz"
+    OXFORD102_K256_VGG16 = "k_means_k256_deep_features_vgg16_no_pca.npz"
+    OXFORD102_K256_ROOTSIFT_PCA = "k_means_k256_root_sift_pca.npz"
+    OXFORD102_K256_ROOTSIFT = "k_means_k256_root_sift_no_pca.npz"
+    OXFORD102_K256_SIFT_PCA = "k_means_k256_sift_pca.npz"
+    OXFORD102_K256_SIFT = "k_means_k256_sift_no_pca.npz"
+
+
+class _PCA(_PretrainedModels):
+    OXFORD102_PCA256_VGG16 = "pca_k256_deep_features_vgg16_f2.npz"
+    OXFORD102_PCA256_ROOTSIFT = "pca_k256_root_sift_f2.npz"
+    OXFORD102_PCA256_SIFT = "pca_k256_sift_f2.npz"
+
+
+class GMMWeights(_PretrainedModels):
+    """GMM vocabularies (parity: _base_encoder.py:139-145)."""
+
+    OXFORD102_K256_VGG16_PCA = "gmm_k256_deep_features_vgg16_pca.npz"
+    OXFORD102_K256_VGG16 = "gmm_k256_deep_features_vgg16_no_pca.npz"
+    OXFORD102_K256_ROOTSIFT_PCA = "gmm_k256_root_sift_pca.npz"
+    OXFORD102_K256_ROOTSIFT = "gmm_k256_root_sift_no_pca.npz"
+    OXFORD102_K256_SIFT_PCA = "gmm_k256_sift_pca.npz"
+    OXFORD102_K256_SIFT = "gmm_k256_sift_no_pca.npz"
+
+
+_CLUSTERING_TO_PCA_MAPPING = {
+    KMeansWeights.OXFORD102_K256_VGG16_PCA: _PCA.OXFORD102_PCA256_VGG16,
+    KMeansWeights.OXFORD102_K256_ROOTSIFT_PCA: _PCA.OXFORD102_PCA256_ROOTSIFT,
+    KMeansWeights.OXFORD102_K256_SIFT_PCA: _PCA.OXFORD102_PCA256_SIFT,
+    GMMWeights.OXFORD102_K256_VGG16_PCA: _PCA.OXFORD102_PCA256_VGG16,
+    GMMWeights.OXFORD102_K256_ROOTSIFT_PCA: _PCA.OXFORD102_PCA256_ROOTSIFT,
+    GMMWeights.OXFORD102_K256_SIFT_PCA: _PCA.OXFORD102_PCA256_SIFT,
+}
+
+
+def _coerce_pca(pca: Any) -> cb.PcaProjector:
+    if isinstance(pca, cb.PcaProjector):
+        return pca
+    if hasattr(pca, "components_"):
+        return cb.PcaProjector.from_sklearn(pca)
+    raise TypeError(f"Cannot interpret {type(pca)} as a PCA projector.")
+
+
+# ---------------------------------------------------------------------------
+# The shared encoder engine (parity: _base_encoder.py:158-401)
+# ---------------------------------------------------------------------------
+class ImageEncoderBase(SimilarityMetric):
+    """Base class for image encoders (VLAD / Fisher Vector).
+
+    Same public surface as the reference's ImageEncoderBase
+    (_base_encoder.py:158): ``encode``, ``similarity_score``, ``learn``,
+    ``generate_encoding_map``, settable ``similarity_func`` / ``pca`` /
+    ``clustering_model`` / ``feature_extractor`` properties,
+    ``power_norm_weight``, ``norm_order``, ``epsilon``, ``flatten``.
+
+    TPU redesign: subclasses implement ``_encode_core(desc, mask)`` — a
+    pure function of fixed-shape batched descriptors — which this base
+    wraps in ``jax.jit`` and re-traces only when configuration changes.
+    """
+
+    # Subclasses set this: "kmeans" or "gmm" — replaces the reference's
+    # string dispatch on __class__.__name__ (_base_encoder.py:333-340).
+    _vocabulary_kind: str = ""
+
+    def __init__(
+        self,
+        feature_extractor: FeatureExtractorBase = None,
+        weights: Union[KMeansWeights, GMMWeights, None] = None,
+        clustering_model=None,
+        similarity_func: Callable[[np.ndarray, np.ndarray], float] = None,
+        power_norm_weight: float = 1.0,
+        norm_order: float = 2.0,
+        epsilon: float = 1e-9,
+        flatten: bool = True,
+        pca: Optional[Any] = None,
+        raise_error_when_pca_incompatible: bool = True,
+    ):
+        self._feature_extractor = None
+        self._clustering_model = None
+        self._pca = None
+        self._similarity_func = None
+        self._encode_jit = None
+
+        self.similarity_func = similarity_func
+        self.feature_extractor = feature_extractor
+
+        if weights is not None:
+            if "PCA" in weights.name:
+                self.pca = _CLUSTERING_TO_PCA_MAPPING[weights].load()
+            self.clustering_model = weights.load()
+        else:
+            if pca is not None:
+                self.pca = pca
+            if clustering_model is not None:
+                self.clustering_model = clustering_model
+
+        self._power_norm_weight = float(power_norm_weight)
+        self._norm_order = float(norm_order)
+        self._epsilon = float(epsilon)
+        self._flatten = bool(flatten)
+        self.raise_error_when_pca_incompatible = raise_error_when_pca_incompatible
+
+    # -- config properties (invalidate the jitted core on change) ----------
+    def _invalidate(self):
+        self._encode_jit = None
+
+    @property
+    def power_norm_weight(self) -> float:
+        return self._power_norm_weight
+
+    @power_norm_weight.setter
+    def power_norm_weight(self, v: float):
+        self._power_norm_weight = float(v)
+        self._invalidate()
+
+    @property
+    def norm_order(self) -> float:
+        return self._norm_order
+
+    @norm_order.setter
+    def norm_order(self, v: float):
+        self._norm_order = float(v)
+        self._invalidate()
+
+    @property
+    def epsilon(self) -> float:
+        return self._epsilon
+
+    @epsilon.setter
+    def epsilon(self, v: float):
+        self._epsilon = float(v)
+        self._invalidate()
+
+    @property
+    def flatten(self) -> bool:
+        return self._flatten
+
+    @flatten.setter
+    def flatten(self, v: bool):
+        self._flatten = bool(v)
+        self._invalidate()
+
+    # -- wired components (parity validation; _base_encoder.py:222-309) ----
+    @property
+    def feature_extractor(self) -> FeatureExtractorBase:
+        return self._feature_extractor
+
+    @feature_extractor.setter
+    def feature_extractor(self, feature_extractor: FeatureExtractorBase):
+        if not isinstance(feature_extractor, FeatureExtractorBase):
+            raise TypeError(
+                "feature_extractor must be an instance of FeatureExtractorBase, "
+                f"not {type(feature_extractor)}"
+            )
+        if self._pca is not None:
+            if feature_extractor.output_dim != self._pca.n_features_in:
+                raise RuntimeError(
+                    f"Feature Extractor outputs shape {feature_extractor.output_dim}, "
+                    f"But PCA accepts input dim {self._pca.n_features_in}"
+                )
+        elif self._clustering_model is not None:
+            if feature_extractor.output_dim != self._clustering_model.n_features_in:
+                raise RuntimeError(
+                    f"Feature Extractor outputs shape {feature_extractor.output_dim}, "
+                    "But clustering model accepts input dim "
+                    f"{self._clustering_model.n_features_in}"
+                )
+        self._feature_extractor = feature_extractor
+        self._invalidate()
+
+    @property
+    def similarity_func(self):
+        return self._similarity_func
+
+    @similarity_func.setter
+    def similarity_func(self, func: Callable[[np.ndarray, np.ndarray], float]):
+        dummy1, dummy2 = np.random.rand(10, 10), np.random.rand(10, 10)
+        self._similarity_func = check_desired_output(func, dummy1, dummy2)
+
+    @property
+    def clustering_model(self):
+        return self._clustering_model
+
+    def _coerce_clustering_model(self, model):
+        """Subclasses convert sklearn estimators / validate pytree type."""
+        raise NotImplementedError
+
+    @clustering_model.setter
+    def clustering_model(self, clustering_model):
+        clustering_model = self._coerce_clustering_model(clustering_model)
+        if self._pca:
+            if self._pca.n_components != clustering_model.n_features_in:
+                if self.raise_error_when_pca_incompatible:
+                    raise RuntimeError(
+                        "PCA is incompatible with the new clustering model. "
+                        f"PCA output size: {self._pca.n_components}, "
+                        f"New clustering model input size: {clustering_model.n_features_in}. "
+                        "If you want the PCA to be reset to None instead, set "
+                        "raise_error_when_pca_incompatible=False."
+                    )
+                warnings.warn(
+                    "PCA is incompatible with the new clustering model. "
+                    f"PCA output size: {self._pca.n_components}, "
+                    f"New clustering model input size: {clustering_model.n_features_in}. "
+                    "PCA will be reset to None to avoid errors."
+                )
+                self._pca = None
+        elif self._feature_extractor is not None:
+            if self._feature_extractor.output_dim != clustering_model.n_features_in:
+                raise RuntimeError(
+                    "Feature extractor output size has to match the clustering "
+                    "model input size. Feature extractor has output size "
+                    f"{self._feature_extractor.output_dim}, while clustering "
+                    f"model has input size {clustering_model.n_features_in}"
+                )
+        self._clustering_model = clustering_model
+        self._invalidate()
+
+    @property
+    def pca(self) -> Optional[cb.PcaProjector]:
+        return self._pca
+
+    @pca.setter
+    def pca(self, pca):
+        pca = _coerce_pca(pca)
+        if (
+            self._feature_extractor is not None
+            and pca.n_features_in != self._feature_extractor.output_dim
+        ):
+            raise ValueError(
+                "PCA input size has to match the feature extractor output size. "
+                f"PCA model has input size {pca.n_features_in}, while feature "
+                f"extractor has output size {self._feature_extractor.output_dim}"
+            )
+        if (
+            self._clustering_model is not None
+            and pca.n_components != self._clustering_model.n_features_in
+        ):
+            raise ValueError(
+                "PCA output size has to match the clustering model input size. "
+                f"PCA model has output size {pca.n_components}, while clustering "
+                f"model has input size {self._clustering_model.n_features_in}"
+            )
+        self._pca = pca
+        self._invalidate()
+
+    # -- the jitted encode engine ------------------------------------------
+    def _encode_core(
+        self, desc: jnp.ndarray, mask: jnp.ndarray, clustering_model, pca
+    ) -> jnp.ndarray:
+        """Pure batched core: ``(B, N, D_raw) -> (B, out)``. Subclasses
+        implement with their aggregation op; PCA is applied here."""
+        raise NotImplementedError
+
+    def _get_encode_fn(self):
+        if self._encode_jit is None:
+            core = self._encode_core
+
+            @jax.jit
+            def fn(desc, mask, clustering_model, pca):
+                return core(desc, mask, clustering_model, pca)
+
+            self._encode_jit = fn
+        return self._encode_jit
+
+    def encode(self, images: Iterable[np.ndarray] | np.ndarray) -> np.ndarray:
+        """Encode one or more images into vector representations.
+
+        Parity with reference encode loops (vlad.py:81-115,
+        fisher_vector.py:83-135) but batched: one device round-trip for the
+        whole batch. Returns ``np.vstack``-style stacking: ``(B, dim)`` when
+        ``flatten`` else the per-image matrices stacked along axis 0.
+        """
+        try:
+            import torch
+
+            if torch.is_tensor(images):
+                raise RuntimeError("Torch images are not supported yet.")
+        except ImportError:
+            pass
+        if self._clustering_model is None:
+            raise RuntimeError(
+                "No clustering model set. Pass weights=, clustering_model=, or "
+                "call learn() first."
+            )
+        desc, mask = self.feature_extractor.extract_batch(images)
+        desc = jnp.asarray(desc)
+        mask = jnp.asarray(mask)
+        out = self._get_encode_fn()(desc, mask, self._clustering_model, self._pca)
+        out = np.asarray(out)
+        if not self._flatten and out.ndim == 3:
+            out = out.reshape(-1, out.shape[-1])  # np.vstack of (K, D) blocks
+        return out
+
+    # -- vocabulary learning (parity: _base_encoder.py:311-342) ------------
+    def learn(
+        self,
+        images: Iterable[np.ndarray],
+        /,
+        *,
+        n_clusters: int,
+        dim_reduction_factor: int | None = None,
+        **kwargs,
+    ) -> None:
+        """Learn the visual vocabulary (PCA + KMeans/GMM) from images,
+        entirely on device.
+
+        Mirrors reference learn() semantics: optional PCA to
+        ``feat_dim // dim_reduction_factor`` fitted on the raw descriptors,
+        then the subclass's clustering model on (projected) descriptors.
+        """
+        desc, mask = self.feature_extractor.extract_batch(images)
+        desc = jnp.asarray(desc)
+        mask = jnp.asarray(mask, jnp.float32)
+        b, n, d = desc.shape
+        flat = desc.reshape(b * n, d)
+        flat_mask = mask.reshape(b * n)
+        logger.info(
+            "Learning visual vocabulary: n_clusters=%d extractor=%s dim=%d",
+            n_clusters,
+            type(self.feature_extractor).__name__,
+            d,
+        )
+        if dim_reduction_factor:
+            new_dim = d // dim_reduction_factor
+            projector = pca_ops.pca_fit(flat, new_dim, mask=flat_mask)
+            self._pca = projector
+            flat = projector(flat)
+        if self._vocabulary_kind == "kmeans":
+            model, _ = kmeans_ops.kmeans_fit(flat, n_clusters, mask=flat_mask, **kwargs)
+        elif self._vocabulary_kind == "gmm":
+            model, _ = gmm_ops.gmm_fit(flat, n_clusters, mask=flat_mask, **kwargs)
+        else:
+            raise ValueError("Unknown encoder class.")
+        self._clustering_model = model
+        self._invalidate()
+
+    # -- encoding maps (parity: _base_encoder.py:344-359) ------------------
+    @_tupleize_first_arg
+    def generate_encoding_map(
+        self, image_paths: Iterable[str], /, batch_size: int = 64
+    ) -> dict[str, np.ndarray]:
+        """``{image_path: encoded_vector}`` for a collection of files.
+
+        Images are decoded host-side (native loader if built, else OpenCV)
+        and encoded in device batches.
+        """
+        from ..io import imread_rgb
+
+        paths = list(image_paths)
+        result: dict[str, np.ndarray] = {}
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            images = [imread_rgb(p) for p in chunk]
+            vecs = self.encode(images)
+            for p, v in zip(chunk, vecs):
+                result[p] = v
+        return result
+
+    @abc.abstractmethod
+    def _coerce_clustering_model(self, model):
+        raise NotImplementedError
+
+    def similarity_score(
+        self,
+        images1: Iterable[np.ndarray] | np.ndarray,
+        images2: Iterable[np.ndarray] | np.ndarray,
+    ) -> np.ndarray:
+        """Encode both batches and apply ``similarity_func``
+        (parity: _base_encoder.py:371-385)."""
+        vector1 = self.encode(images1)
+        vector2 = self.encode(images2)
+        result = self.similarity_func(vector1, vector2)
+        return np.float32(result)
+
+    def __repr__(self) -> str:
+        n_clusters = None
+        m = self._clustering_model
+        if m is not None:
+            n_clusters = getattr(m, "n_clusters", None) or getattr(
+                m, "n_components", None
+            )
+        sim_name = getattr(self.similarity_func, "__name__", str(self.similarity_func))
+        return (
+            f"{type(self).__name__}(feature_extractor="
+            f"{type(self.feature_extractor).__name__}, \n"
+            f"similarity_func={sim_name}, \n"
+            f"Number of cluster={n_clusters}, \n"
+            f"Power Norm Weight={self.power_norm_weight}, \n"
+            f"Norm Order={self.norm_order})"
+        )

@@ -1,0 +1,359 @@
+"""Feature extractors: SIFT, RootSIFT, Lambda, DeepConvFeature.
+
+Capability parity with reference pyvisim/features/_features.py (306 LoC),
+redesigned TPU-first:
+
+* ``DeepConvFeature`` runs a jit-compiled Flax VGG trunk (models/vgg.py)
+  instead of torch forward hooks, with a fully batched device path.
+* ``SIFT``/``RootSIFT`` support two backends: ``"tpu"`` (batched JAX/Pallas
+  pipeline in ops/sift.py, fixed keypoint budget + masks) and ``"opencv"``
+  (host golden reference used for cross-validation). The extractor object
+  is stateless/reentrant — unlike the reference's shared hook ``buffer``
+  (reference: _features.py:260, a documented thread-safety hazard).
+"""
+from __future__ import annotations
+
+from functools import wraps
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._base_classes import FeatureExtractorBase
+from .._config import get_logger
+from ..models import vgg as vgg_lib
+
+logger = get_logger("features")
+
+__all__ = ["SIFT", "RootSIFT", "Lambda", "DeepConvFeature", "FeatureExtractorBase"]
+
+
+def _check_output_shape(func) -> Callable:
+    """Ensure extractor output is a 2-D numpy array of shape (N, output_dim).
+
+    Mirrors reference _features.py:24-51: ``None`` becomes a (0, D) empty
+    array; torch inputs are rejected on the parity path.
+    """
+
+    @wraps(func)
+    def wrapper(self, *args, **kwargs) -> np.ndarray:
+        image = args[0]
+        try:
+            import torch
+
+            if torch.is_tensor(image):
+                raise TypeError(
+                    "Torch images are not supported on this path. Please convert to NumPy."
+                )
+        except ImportError:
+            pass
+        feat_vecs = func(self, *args, **kwargs)
+        if feat_vecs is None:
+            logger.info("No feature vectors found. Returning empty array.")
+            return np.zeros((0, self.output_dim), dtype=np.float32)
+        feat_vecs = np.asarray(feat_vecs)
+        if feat_vecs.ndim != 2:
+            raise ValueError(
+                f"Feature extractor output must be 2D. Got shape {feat_vecs.shape}."
+            )
+        if feat_vecs.shape[1] != self.output_dim:
+            raise ValueError(
+                f"Expected feat_vecs.shape[1] == {self.output_dim}, "
+                f"but got {feat_vecs.shape[1]}."
+            )
+        return feat_vecs
+
+    return wrapper
+
+
+def _to_gray_u8(image: np.ndarray) -> np.ndarray:
+    """RGB/gray -> uint8 grayscale, matching OpenCV's RGB2GRAY weights."""
+    if image.ndim == 3:
+        g = image[..., 0] * 0.299 + image[..., 1] * 0.587 + image[..., 2] * 0.114
+        return np.round(g).astype(np.uint8)
+    return image.astype(np.uint8)
+
+
+class SIFT(FeatureExtractorBase):
+    """Scale-Invariant Feature Transform extractor, 128-D descriptors.
+
+    Equivalent capability to reference _features.py:54-83 (OpenCV
+    ``SIFT.detectAndCompute``). ``backend="tpu"`` uses the batched JAX
+    pipeline in ops/sift.py with a static per-image keypoint budget;
+    ``backend="opencv"`` is the host golden path.
+
+    :param backend: "tpu" or "opencv".
+    :param max_keypoints: static keypoint budget N_max for the TPU backend.
+    """
+
+    def __init__(self, backend: str = "tpu", max_keypoints: int = 2048):
+        super().__init__()
+        self._output_dim = 128
+        if backend not in ("tpu", "opencv"):
+            raise ValueError(f"Unknown SIFT backend: {backend!r}")
+        self.backend = backend
+        self.max_keypoints = max_keypoints
+        self._root = False  # RootSIFT subclass flips this
+
+    @property
+    def output_dim(self) -> int:
+        return self._output_dim
+
+    @property
+    def descriptor_budget(self) -> int | None:
+        return self.max_keypoints if self.backend == "tpu" else None
+
+    def _opencv_descriptors(self, image: np.ndarray) -> np.ndarray | None:
+        import cv2
+
+        sift = cv2.SIFT.create()
+        _, descriptors = sift.detectAndCompute(image.astype(np.uint8), None)
+        return descriptors
+
+    def _tpu_descriptors(self, image: np.ndarray):
+        from ..ops import sift as sift_ops
+
+        gray = _to_gray_u8(image).astype(np.float32) / 255.0
+        desc, mask = sift_ops.sift_single(
+            gray, max_keypoints=self.max_keypoints, root_sift=self._root
+        )
+        return desc, mask
+
+    @_check_output_shape
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        super().__call__(image)
+        if self.backend == "opencv":
+            d = self._opencv_descriptors(image)
+            if d is not None and self._root:
+                d = d / (d.sum(axis=1, keepdims=True) + 1e-7)
+                d = np.sqrt(d)
+            return d
+        desc, mask = self._tpu_descriptors(image)
+        desc = np.asarray(desc)
+        mask = np.asarray(mask) > 0.5
+        return desc[mask]
+
+    def extract_batch(self, images):
+        if self.backend != "tpu":
+            return super().extract_batch(images)
+        from ..ops import sift as sift_ops
+
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        grays = [_to_gray_u8(np.asarray(img)) for img in images]
+        return sift_ops.sift_batch(
+            grays, max_keypoints=self.max_keypoints, root_sift=self._root
+        )
+
+    def __repr__(self):
+        return f"{type(self).__name__}(output_dim={self.output_dim}, backend={self.backend!r})"
+
+
+class RootSIFT(SIFT):
+    """SIFT with the Hellinger kernel map: L1-normalize (+1e-7) then sqrt.
+
+    Equivalent capability to reference _features.py:86-118; the map itself
+    is fused into the TPU descriptor kernel.
+    """
+
+    def __init__(self, backend: str = "tpu", max_keypoints: int = 2048):
+        super().__init__(backend=backend, max_keypoints=max_keypoints)
+        self._root = True
+
+
+class Lambda(FeatureExtractorBase):
+    """Wraps any user callable ``image -> (N, output_dim)`` array.
+
+    Equivalent capability to reference _features.py:121-148.
+    """
+
+    def __init__(self, func: Callable, output_dim: int):
+        super().__init__()
+        if not callable(func):
+            raise ValueError(
+                f"Argument func must be a callable object, got {type(func)} instead"
+            )
+        self._output_dim = output_dim
+        self.func = func
+
+    @property
+    def output_dim(self) -> int:
+        return self._output_dim
+
+    @_check_output_shape
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        super().__call__(image)
+        return self.func(image)
+
+    def __repr__(self):
+        return f"Lambda(output_dim={self.output_dim})"
+
+
+class DeepConvFeature(FeatureExtractorBase):
+    """Deep convolutional feature extractor over a Flax VGG trunk.
+
+    Equivalent capability to reference _features.py:151-306: flattens the
+    chosen conv layer's feature map (post-ReLU — what the reference's hook
+    observably captures under torchvision's inplace ReLU; see
+    models/vgg.py) to ``(Hf*Wf, C)`` descriptors and optionally appends
+    normalized ``(x/Wf, y/Hf)`` coordinates (reference: _features.py:291-298)
+    for ``C+2`` dims (514 for VGG16's last conv).
+
+    TPU-first redesign: the resize→forward→flatten→coord-concat chain is a
+    single jitted function; ``extract_batch`` runs it once for a whole
+    batch. There is no mutable hook buffer — the extractor is reentrant.
+
+    Preprocessing parity note: the reference's default transform is
+    ToTensor + Resize(224) with **no** ImageNet normalization (the
+    docstring at _features.py:170 claims normalization; the code at
+    :192-194 has none — we follow the code).
+
+    :param cfg_name: VGG variant ("vgg11"/"vgg16"/"vgg19").
+    :param params: Flax params; None -> deterministic random init (seed 0).
+        Use ``models.vgg.params_from_torch_state_dict`` for pretrained
+        torchvision checkpoints.
+    :param layer_index: conv layer to capture (negative from the end).
+    :param spatial_encoding: append (x/Wf, y/Hf) to each descriptor.
+    :param image_size: input resolution (default 224).
+    :param transform: optional callable ``(B, H, W, 3) uint8/float ->
+        (B, image_size, image_size, 3) float in [0, 1]`` replacing the
+        default resize.
+    """
+
+    def __init__(
+        self,
+        cfg_name: str = "vgg16",
+        params: Any = None,
+        layer_index: int = -1,
+        spatial_encoding: bool = True,
+        image_size: int = 224,
+        transform: Callable | None = None,
+        dtype: Any = jnp.float32,
+    ):
+        super().__init__()
+        self.cfg_name = cfg_name
+        self.layer_index = layer_index
+        self.spatial_encoding = spatial_encoding
+        self.image_size = image_size
+        self.transform = transform
+        self.dtype = dtype
+        self._model = vgg_lib.VGGConvFeatures(
+            cfg_name=cfg_name, layer_index=layer_index, dtype=dtype
+        )
+        if params is None:
+            logger.warning(
+                "DeepConvFeature: no pretrained params given; using "
+                "deterministic random initialization (seed 0). Convert a "
+                "torchvision checkpoint with models.vgg.params_from_torch_state_dict "
+                "for pretrained behavior."
+            )
+            params = vgg_lib.init_params(
+                cfg_name, layer_index, seed=0, image_size=image_size, dtype=dtype
+            )
+        self.params = params
+        n_convs = vgg_lib.num_conv_layers(cfg_name)
+        if not -n_convs <= layer_index < n_convs:
+            raise IndexError(
+                f"Model {cfg_name} has only {n_convs} convolutional layers. "
+                f"Got layer_index={layer_index}."
+            )
+        c = vgg_lib.conv_out_channels(cfg_name, layer_index)
+        self._output_dim = c + 2 if spatial_encoding else c
+        self._jit_forward = jax.jit(self._forward)
+
+    def list_conv_layers(self):
+        """(index, name, out_channels) for each conv layer
+        (parity with reference _features.py:239-252)."""
+        chans = [c for c in vgg_lib.VGG_CFGS[self.cfg_name] if c != "M"]
+        return [(i, f"conv{i}", c) for i, c in enumerate(chans)]
+
+    @property
+    def output_dim(self) -> int:
+        return self._output_dim
+
+    @property
+    def descriptor_budget(self) -> int | None:
+        # Feature-map locations are fixed by the static input size.
+        n_pools_before = 0
+        cfg = vgg_lib.VGG_CFGS[self.cfg_name]
+        target = self.layer_index % vgg_lib.num_conv_layers(self.cfg_name)
+        conv_i = 0
+        for item in cfg:
+            if item == "M":
+                n_pools_before += 1
+            else:
+                if conv_i == target:
+                    break
+                conv_i += 1
+        hf = self.image_size // (2**n_pools_before)
+        return hf * hf
+
+    def _preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
+        """uint8/float HWC batch -> (B, S, S, 3) float in [0, 1], bilinear
+        resize with antialiasing (torchvision Resize-on-tensor parity)."""
+        x = images.astype(self.dtype) / 255.0
+        if x.shape[1] != self.image_size or x.shape[2] != self.image_size:
+            x = jax.image.resize(
+                x,
+                (x.shape[0], self.image_size, self.image_size, 3),
+                method="bilinear",
+            )
+        return x
+
+    def _forward(self, images: jnp.ndarray) -> jnp.ndarray:
+        """(B, H, W, 3) raw -> (B, Hf*Wf, D) descriptors."""
+        x = self.transform(images) if self.transform else self._preprocess(images)
+        fmap = self._model.apply(self.params, x)  # (B, Hf, Wf, C)
+        b, hf, wf, c = fmap.shape
+        desc = fmap.reshape(b, hf * wf, c)
+        if self.spatial_encoding:
+            ys = (jnp.arange(hf, dtype=self.dtype) / hf)[:, None]
+            xs = (jnp.arange(wf, dtype=self.dtype) / wf)[None, :]
+            coords = jnp.stack(
+                [jnp.broadcast_to(xs, (hf, wf)), jnp.broadcast_to(ys, (hf, wf))],
+                axis=-1,
+            ).reshape(1, hf * wf, 2)
+            desc = jnp.concatenate(
+                [desc, jnp.broadcast_to(coords, (b, hf * wf, 2))], axis=-1
+            )
+        return desc
+
+    @_check_output_shape
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        super().__call__(image)
+        desc = self._jit_forward(jnp.asarray(image)[None])
+        return np.asarray(desc[0])
+
+    def extract_batch(self, images):
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            batch = jnp.asarray(images)
+        else:
+            images = list(images)
+            shapes = {np.asarray(i).shape for i in images}
+            if len(shapes) == 1:
+                batch = jnp.asarray(np.stack([np.asarray(i) for i in images]))
+            else:
+                # Ragged sizes: resize host-side per image to the static size.
+                import cv2
+
+                resized = [
+                    cv2.resize(
+                        np.asarray(i).astype(np.float32),
+                        (self.image_size, self.image_size),
+                        interpolation=cv2.INTER_AREA,
+                    )
+                    for i in images
+                ]
+                batch = jnp.asarray(np.stack(resized))
+        desc = self._jit_forward(batch)
+        mask = jnp.ones(desc.shape[:2], self.dtype)
+        return desc, mask
+
+    def __repr__(self):
+        return (
+            f"DeepConvFeature(cfg={self.cfg_name}, layer_index={self.layer_index}, "
+            f"spatial_encoding={self.spatial_encoding}, output_dim={self.output_dim})"
+        )

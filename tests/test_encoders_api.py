@@ -1,0 +1,217 @@
+"""Encoder API layer tests: wiring, validation, parity semantics."""
+import numpy as np
+import pytest
+
+from pyvisim_tpu.encoders import (
+    FisherVectorEncoder,
+    GMMWeights,
+    KMeansWeights,
+    Pipeline,
+    VLADEncoder,
+)
+from pyvisim_tpu.features import Lambda
+from pyvisim_tpu.ops import GmmCodebook, KMeansCodebook, vlad_encode, fisher_encode
+
+
+def make_lambda(dim=16, n=50, seed=0):
+    """Deterministic pseudo-extractor: descriptors derived from image stats."""
+
+    def fn(image):
+        r = np.random.default_rng(int(image.sum()) % 2**31)
+        return r.normal(size=(n, dim)).astype(np.float32)
+
+    return Lambda(fn, output_dim=dim)
+
+
+@pytest.fixture
+def kmeans_cb(rng):
+    return KMeansCodebook(centers=rng.normal(size=(8, 16)).astype(np.float32))
+
+
+@pytest.fixture
+def gmm_cb(rng):
+    w = rng.random(8) + 0.1
+    return GmmCodebook(
+        weights=(w / w.sum()).astype(np.float32),
+        means=rng.normal(size=(8, 16)).astype(np.float32),
+        covariances=(rng.random((8, 16)) + 0.5).astype(np.float32),
+    )
+
+
+def test_vlad_encoder_matches_core(kmeans_cb):
+    enc = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=kmeans_cb)
+    img = np.full((4, 4, 3), 7, np.uint8)
+    out = enc.encode(img)
+    assert out.shape == (1, 8 * 16)
+    desc = enc.feature_extractor(img)
+    want = np.asarray(vlad_encode(desc, None, kmeans_cb.centers))
+    np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-6)
+
+
+def test_vlad_encoder_unflattened_vstack_semantics(kmeans_cb):
+    enc = VLADEncoder(
+        feature_extractor=make_lambda(), kmeans_model=kmeans_cb, flatten=False
+    )
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in (1, 2)]
+    out = enc.encode(imgs)
+    # reference np.vstack's the per-image (K, D) matrices (vlad.py:115)
+    assert out.shape == (2 * 8, 16)
+
+
+def test_fisher_encoder_matches_core(gmm_cb):
+    enc = FisherVectorEncoder(feature_extractor=make_lambda(), gmm_model=gmm_cb)
+    img = np.full((4, 4, 3), 3, np.uint8)
+    out = enc.encode(img)
+    assert out.shape == (1, 2 * 8 * 16 + 8)
+    desc = enc.feature_extractor(img)
+    want = np.asarray(fisher_encode(desc, None, gmm_cb))
+    np.testing.assert_allclose(out[0], want, rtol=1e-4, atol=1e-6)
+
+
+def test_pretrained_gmm_weights_with_auto_pca():
+    enc = FisherVectorEncoder(
+        feature_extractor=make_lambda(dim=128),
+        weights=GMMWeights.OXFORD102_K256_SIFT_PCA,
+    )
+    assert enc.pca is not None
+    assert enc.pca.n_features_in == 128
+    assert enc.pca.n_components == 64
+    assert enc.clustering_model.n_components == 256
+    img = np.full((4, 4, 3), 5, np.uint8)
+    out = enc.encode(img)
+    assert out.shape == (1, 2 * 256 * 64 + 256)
+    assert np.isfinite(out).all()
+
+
+def test_missing_kmeans_weights_raise_helpfully():
+    from pyvisim_tpu._errors import WeightsNotFoundError
+
+    assert not KMeansWeights.OXFORD102_K256_SIFT.available
+    with pytest.raises(WeightsNotFoundError, match="learn"):
+        VLADEncoder(
+            feature_extractor=make_lambda(dim=128),
+            weights=KMeansWeights.OXFORD102_K256_SIFT,
+        )
+
+
+def test_weights_class_mismatch_rejected():
+    with pytest.raises(ValueError, match="KMeansWeights"):
+        VLADEncoder(
+            feature_extractor=make_lambda(dim=128),
+            weights=GMMWeights.OXFORD102_K256_SIFT_PCA,
+        )
+
+
+def test_dimension_validation(kmeans_cb):
+    with pytest.raises(RuntimeError, match="clustering model"):
+        VLADEncoder(feature_extractor=make_lambda(dim=32), kmeans_model=kmeans_cb)
+
+
+def test_sklearn_kmeans_accepted(rng):
+    sklearn = pytest.importorskip("sklearn.cluster")
+    km = sklearn.KMeans(n_clusters=4, n_init=2, random_state=0).fit(
+        rng.normal(size=(100, 16)).astype(np.float32)
+    )
+    enc = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=km)
+    assert isinstance(enc.clustering_model, KMeansCodebook)
+    assert enc.clustering_model.n_clusters == 4
+
+
+def test_similarity_score_matrix(kmeans_cb):
+    enc = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=kmeans_cb)
+    a = [np.full((4, 4, 3), v, np.uint8) for v in (1, 2)]
+    b = [np.full((4, 4, 3), v, np.uint8) for v in (1, 2, 3)]
+    s = enc.similarity_score(a, b)
+    assert s.shape == (2, 3)
+    assert s[0, 0] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_similarity_func_fallback_warns(kmeans_cb):
+    def scalar_sim(v1, v2):
+        return float(np.dot(v1.ravel()[:3], v2.ravel()[:3]))
+
+    with pytest.warns(UserWarning):
+        enc = VLADEncoder(
+            feature_extractor=make_lambda(),
+            kmeans_model=kmeans_cb,
+            similarity_func=scalar_sim,
+        )
+    out = enc.similarity_func(np.ones((2, 4)), np.ones((3, 4)))
+    assert out.shape == (2, 3)
+
+
+def test_learn_vlad(rng):
+    # 4 well-separated blobs in 8-D
+    centers = rng.normal(scale=10.0, size=(4, 8)).astype(np.float32)
+
+    def fn(image):
+        r = np.random.default_rng(int(image.sum()) % 2**31)
+        lab = r.integers(0, 4, size=40)
+        return (centers[lab] + r.normal(scale=0.1, size=(40, 8))).astype(np.float32)
+
+    enc = VLADEncoder(feature_extractor=Lambda(fn, output_dim=8))
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in range(6)]
+    enc.learn(imgs, n_clusters=4)
+    got = np.sort(np.asarray(enc.clustering_model.centers), axis=0)
+    want = np.sort(centers, axis=0)
+    np.testing.assert_allclose(got, want, atol=0.2)
+    out = enc.encode(imgs[0])
+    assert out.shape == (1, 4 * 8)
+
+
+def test_learn_fisher_with_pca(rng):
+    enc = FisherVectorEncoder(feature_extractor=make_lambda(dim=16))
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in range(5)]
+    enc.learn(imgs, n_clusters=3, dim_reduction_factor=2)
+    assert enc.pca.n_components == 8
+    assert enc.clustering_model.n_components == 3
+    out = enc.encode(imgs[0])
+    assert out.shape == (1, 2 * 3 * 8 + 3)
+    assert np.isfinite(out).all()
+
+
+def test_pipeline_concat_and_shared_extraction(kmeans_cb, gmm_cb):
+    calls = {"n": 0}
+    dim = 16
+
+    def fn(image):
+        calls["n"] += 1
+        r = np.random.default_rng(int(image.sum()) % 2**31)
+        return r.normal(size=(50, dim)).astype(np.float32)
+
+    shared = Lambda(fn, output_dim=dim)
+    v = VLADEncoder(feature_extractor=shared, kmeans_model=kmeans_cb)
+    f = FisherVectorEncoder(feature_extractor=shared, gmm_model=gmm_cb)
+    pipe = Pipeline([v, f])
+    imgs = [np.full((4, 4, 3), x, np.uint8) for x in (1, 2)]
+    out = pipe.encode(imgs)
+    assert out.shape == (2, 8 * 16 + (2 * 8 * 16 + 8))
+    # one extraction pass per image, not per (encoder, image)
+    assert calls["n"] == 2
+    # concat equivalence with individual encoders (pipeline.ipynb cells 18-20)
+    want = np.hstack([v.encode(imgs), f.encode(imgs)])
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_similarity_and_repr(kmeans_cb):
+    v = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=kmeans_cb)
+    pipe = Pipeline([v])
+    imgs = [np.full((4, 4, 3), x, np.uint8) for x in (1, 2)]
+    s = pipe.similarity_score(imgs, imgs)
+    assert s.shape == (2, 2)
+    np.testing.assert_allclose(np.diag(s), 1.0, atol=1e-4)
+    assert "Pipeline" in repr(pipe)
+
+
+def test_generate_encoding_map(tmp_path, kmeans_cb):
+    import cv2
+
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"img{i}.png")
+        cv2.imwrite(p, np.full((8, 8, 3), i * 10, np.uint8))
+        paths.append(p)
+    enc = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=kmeans_cb)
+    m = enc.generate_encoding_map(paths)
+    assert set(m.keys()) == set(paths)
+    assert all(v.shape == (8 * 16,) for v in m.values())

@@ -1,0 +1,121 @@
+"""DeepConvFeature / Flax-VGG parity tests.
+
+The golden model is a torch conv stack built locally with torchvision's VGG16
+layer naming (torchvision itself is unavailable in this image); weights are
+random, converted through ``params_from_torch_state_dict``, and outputs
+compared — this validates both the architecture and the weight converter.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from pyvisim_tpu.features import DeepConvFeature, Lambda
+from pyvisim_tpu.models.vgg import (
+    VGG_CFGS,
+    VGGConvFeatures,
+    num_conv_layers,
+    params_from_torch_state_dict,
+)
+
+
+def build_torch_vgg_features(cfg_name="vgg16"):
+    """torchvision-style nn.Sequential 'features' trunk (same cfg/naming)."""
+    layers = []
+    in_ch = 3
+    for item in VGG_CFGS[cfg_name]:
+        if item == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_ch, item, 3, padding=1))
+            layers.append(tnn.ReLU(inplace=True))
+            in_ch = item
+    return tnn.Sequential(*layers)
+
+
+def torch_conv_output(features, x_nchw, conv_index):
+    """What the reference's forward hook on the conv_index-th Conv2d
+    *observably* captures: with torchvision's ReLU(inplace=True) the hooked
+    tensor is mutated in place, so the consumed values are post-ReLU
+    (reference _features.py:254-261 + torchvision VGG inplace ReLU)."""
+    out = {}
+    convs = [m for m in features if isinstance(m, tnn.Conv2d)]
+    handle = convs[conv_index].register_forward_hook(
+        lambda module, inp, output: out.setdefault("x", output.detach())
+    )
+    with torch.no_grad():
+        features(x_nchw)
+    handle.remove()
+    return out["x"]  # shares storage with the in-place ReLU output
+
+
+@pytest.mark.parametrize("layer_index", [0, 3, -1])
+def test_flax_vgg_matches_torch(layer_index):
+    torch.manual_seed(0)
+    tmodel = build_torch_vgg_features("vgg16")
+    tmodel.eval()
+    sd = {f"features.{k}": v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = params_from_torch_state_dict(sd, "vgg16", layer_index=layer_index)
+
+    rng = np.random.default_rng(1)
+    x = rng.random((2, 64, 64, 3)).astype(np.float32)
+    want = (
+        torch_conv_output(tmodel, torch.from_numpy(x.transpose(0, 3, 1, 2)), layer_index % 13)
+        .numpy()
+        .transpose(0, 2, 3, 1)
+    )
+    model = VGGConvFeatures(cfg_name="vgg16", layer_index=layer_index)
+    got = np.asarray(model.apply(params, x))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_deep_conv_feature_shapes():
+    ext = DeepConvFeature(image_size=64)
+    img = (np.random.default_rng(0).random((50, 70, 3)) * 255).astype(np.uint8)
+    desc = ext(img)
+    # 64 / 2^4 pools before last conv = 4 -> 16 locations, 512 + 2 dims
+    assert desc.shape == (16, 514)
+    assert ext.output_dim == 514
+    assert ext.descriptor_budget == 16
+
+
+def test_deep_conv_feature_coords_layout():
+    ext = DeepConvFeature(image_size=64)
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    desc = ext(img)
+    hf = wf = 4
+    # Coordinate columns follow the reference's row-major (x/Wf, y/Hf) layout
+    # (reference _features.py:291-298).
+    want = np.array(
+        [[x / wf, y / hf] for y in range(hf) for x in range(wf)], np.float32
+    )
+    np.testing.assert_allclose(desc[:, -2:], want, atol=1e-6)
+
+
+def test_deep_conv_feature_batch_matches_single():
+    ext = DeepConvFeature(image_size=64, spatial_encoding=False)
+    rng = np.random.default_rng(2)
+    imgs = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+    desc, mask = ext.extract_batch(imgs)
+    assert desc.shape == (3, 16, 512)
+    np.testing.assert_array_equal(np.asarray(mask), 1.0)
+    single = ext(imgs[1])
+    np.testing.assert_allclose(np.asarray(desc[1]), single, rtol=1e-4, atol=1e-5)
+
+
+def test_deep_conv_feature_vgg16_default_is_514():
+    assert num_conv_layers("vgg16") == 13
+    ext = DeepConvFeature()  # 224 default
+    assert ext.output_dim == 514
+    assert ext.descriptor_budget == 14 * 14
+
+
+def test_lambda_extractor_contract():
+    lam = Lambda(lambda img: np.ones((5, 7), np.float32), output_dim=7)
+    img = np.zeros((10, 10, 3), np.uint8)
+    out = lam(img)
+    assert out.shape == (5, 7)
+    bad = Lambda(lambda img: np.ones((5, 3), np.float32), output_dim=7)
+    with pytest.raises(ValueError):
+        bad(img)
