@@ -1,0 +1,80 @@
+"""Benchmark: end-to-end VLAD-k256 encoding throughput on one TPU chip.
+
+Measures the BASELINE.md north-star metric — images/sec/chip through the
+full flagship graph (uint8 images -> VGG16 last-conv descriptors + spatial
+coords (514-D) -> VLAD k=256 -> normalized (B, 131584) encodings), the
+pipeline the reference runs as a serial per-image Python/torch/sklearn loop
+(reference: pyvisim/encoders/vlad.py:87-113 over
+pyvisim/features/_features.py:263-300).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against the BASELINE.json north-star target of
+5,000 images/sec/chip on v5e (the reference publishes no throughput
+numbers).
+
+Env knobs: PYVISIM_BENCH_BATCH (default 64), PYVISIM_BENCH_DTYPE
+(bfloat16|float32, default bfloat16), PYVISIM_BENCH_STEPS (default 20).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.features import DeepConvFeature
+    from pyvisim_tpu.ops.vlad import vlad_encode
+
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "128"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "20"))
+    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+
+    ext = DeepConvFeature(
+        cfg_name="vgg16", image_size=224, spatial_encoding=True, dtype=dtype
+    )
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
+    images = jnp.asarray((rng.random((batch, 224, 224, 3)) * 255).astype(np.uint8))
+
+    @jax.jit
+    def encode(images):
+        desc = ext._forward(images).astype(jnp.float32)  # (B, 196, 514)
+        mask = jnp.ones(desc.shape[:2], jnp.float32)
+        return jax.vmap(lambda d, m: vlad_encode(d, m, centers))(desc, mask)
+
+    # Warmup / compile.
+    out = encode(images)
+    out.block_until_ready()
+    assert out.shape == (batch, 256 * 514)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = encode(images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = batch * steps / dt
+    target = 5000.0  # BASELINE.json north star: >5k img/s/chip VLAD-k256 on v5e
+    print(
+        json.dumps(
+            {
+                "metric": "vlad_k256_vgg16_end_to_end_throughput",
+                "value": round(imgs_per_sec, 1),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(imgs_per_sec / target, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

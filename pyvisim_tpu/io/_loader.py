@@ -82,12 +82,14 @@ def imread_rgb(path: str) -> np.ndarray:
 def imread_rgb_batch(
     paths: Iterable[str],
     target_size: Optional[tuple[int, int]] = None,
-    n_threads: int = 8,
+    n_threads: int | None = None,
 ) -> List[np.ndarray] | np.ndarray:
     """Decode a batch of images; with ``target_size=(H, W)`` the native
     loader decodes + bilinear-resizes on a thread pool and returns a single
     (B, H, W, 3) uint8 array."""
     paths = [str(p) for p in paths]
+    if n_threads is None:
+        n_threads = min(8, os.cpu_count() or 1)
     lib = _load_native()
     if (
         lib is not None

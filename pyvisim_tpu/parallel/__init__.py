@@ -1,0 +1,27 @@
+"""Multi-chip parallelism: device meshes, sharded encode/similarity, and
+distributed vocabulary/Siamese training (the reference has no distributed
+runtime; SURVEY.md §2)."""
+from .mesh import NamedSharding, P, data_sharding, make_mesh, replicated
+from .sharded import (
+    distributed_gmm_fit,
+    distributed_kmeans_fit,
+    pad_to_multiple,
+    sharded_cosine_similarity,
+    sharded_encode,
+)
+from .train import make_sharded_trainer, shard_train_state
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "P",
+    "NamedSharding",
+    "pad_to_multiple",
+    "sharded_cosine_similarity",
+    "sharded_encode",
+    "distributed_kmeans_fit",
+    "distributed_gmm_fit",
+    "make_sharded_trainer",
+    "shard_train_state",
+]
