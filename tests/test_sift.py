@@ -1,0 +1,140 @@
+"""TPU SIFT parity tests vs OpenCV's C++ implementation.
+
+Keypoint sets cannot match exactly (OpenCV emits extra keypoints at
+secondary orientation peaks; fixed processing resolution) — the acceptance
+gates are keypoint-position recall and descriptor cosine on matched pairs
+(SURVEY.md §7 hard-part 1); end-to-end retrieval parity is gated in the
+integration tests.
+"""
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pyvisim_tpu.ops.sift import SiftConfig, _letterbox, sift_descriptors
+
+CFG = SiftConfig(process_size=256, max_keypoints=512)
+
+
+def blob_image(seed=0, h=256, w=320):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(30):
+        y, x = rng.integers(30, h - 30), rng.integers(30, w - 30)
+        s = rng.integers(3, 14)
+        yy, xx = np.mgrid[-28:29, -28:29]
+        img[y - 28 : y + 29, x - 28 : x + 29] += np.exp(
+            -(yy**2 + xx**2) / (2 * s**2)
+        ) * rng.uniform(60, 200)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.fixture(scope="module")
+def ours_and_cv():
+    img = blob_image()
+    out = sift_descriptors([img], CFG)
+    mask = np.asarray(out["mask"][0]) > 0
+    ours = {
+        "x": np.asarray(out["x"][0])[mask],
+        "y": np.asarray(out["y"][0])[mask],
+        "desc": np.asarray(out["desc"][0])[mask],
+    }
+    lb = _letterbox(img, CFG.process_size).astype(np.uint8)
+    kps, cv_desc = cv2.SIFT.create().detectAndCompute(lb, None)
+    return ours, np.array([k.pt for k in kps]), cv_desc
+
+
+def test_keypoints_found(ours_and_cv):
+    ours, cv_pts, _ = ours_and_cv
+    assert len(ours["x"]) > 20
+    assert len(cv_pts) > 20
+
+
+def test_keypoint_positions_match_opencv(ours_and_cv):
+    ours, cv_pts, _ = ours_and_cv
+    d = np.sqrt(
+        (ours["x"][:, None] - cv_pts[None, :, 0]) ** 2
+        + (ours["y"][:, None] - cv_pts[None, :, 1]) ** 2
+    )
+    frac_matched = (d.min(axis=1) < 2.0).mean()
+    assert frac_matched > 0.8, f"only {frac_matched:.0%} of our kps near a cv2 kp"
+
+
+def test_descriptors_match_opencv(ours_and_cv):
+    ours, cv_pts, cv_desc = ours_and_cv
+    cosines = []
+    for i in range(len(ours["x"])):
+        d = np.sqrt(
+            (cv_pts[:, 0] - ours["x"][i]) ** 2 + (cv_pts[:, 1] - ours["y"][i]) ** 2
+        )
+        near = np.where(d < 2.0)[0]
+        if len(near) == 0:
+            continue
+        a = ours["desc"][i]
+        cos = (cv_desc[near] @ a) / (
+            np.linalg.norm(cv_desc[near], axis=1) * np.linalg.norm(a) + 1e-9
+        )
+        cosines.append(cos.max())
+    cosines = np.array(cosines)
+    assert len(cosines) > 20
+    assert np.median(cosines) > 0.95
+    assert (cosines > 0.8).mean() > 0.85
+
+
+def test_descriptor_range_and_shape(ours_and_cv):
+    ours, _, _ = ours_and_cv
+    d = ours["desc"]
+    assert d.shape[1] == 128
+    assert d.min() >= 0.0 and d.max() <= 255.0
+
+
+def test_batch_deterministic():
+    img = blob_image(seed=3)
+    out = sift_descriptors([img, img], CFG)
+    np.testing.assert_allclose(
+        np.asarray(out["desc"][0]), np.asarray(out["desc"][1]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["mask"][0]), np.asarray(out["mask"][1])
+    )
+
+
+def test_root_sift_hellinger():
+    img = blob_image(seed=4)
+    plain = sift_descriptors([img], CFG)
+    root = sift_descriptors([img], CFG, root_sift=True)
+    mask = np.asarray(plain["mask"][0]) > 0
+    d = np.asarray(plain["desc"][0])[mask]
+    want = d / (d.sum(axis=1, keepdims=True) + 1e-7)
+    want = np.sqrt(want)
+    got = np.asarray(root["desc"][0])[mask]
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_extractor_api():
+    from pyvisim_tpu.features import SIFT, RootSIFT
+
+    img = np.stack([blob_image(seed=5)] * 3, axis=-1)  # HWC RGB
+    ext = SIFT(backend="tpu", max_keypoints=256)
+    # Note: feature extractors re-letterbox internally at the default
+    # process size; just check the contract here.
+    desc = ext(img)
+    assert desc.ndim == 2 and desc.shape[1] == 128
+    batch_desc, batch_mask = ext.extract_batch([img, img])
+    assert batch_desc.shape == (2, 256, 128)
+    r = RootSIFT(backend="tpu", max_keypoints=256)
+    rd = r(img)
+    assert rd.shape[1] == 128
+    # Hellinger-mapped descriptors have unit L2 norm (sqrt of L1-normalized)
+    norms = np.linalg.norm(rd, axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=0.02)
+
+
+def test_opencv_backend_parity_of_rootsift_formula():
+    from pyvisim_tpu.features import RootSIFT, SIFT
+
+    img = np.stack([blob_image(seed=6)] * 3, axis=-1)
+    s = SIFT(backend="opencv")(img)
+    r = RootSIFT(backend="opencv")(img)
+    want = np.sqrt(s / (s.sum(axis=1, keepdims=True) + 1e-7))
+    np.testing.assert_allclose(r, want, atol=1e-5)
