@@ -1,0 +1,194 @@
+"""Fused descriptor-aggregation Pallas kernels.
+
+The VLAD/FV hot loop consumes an (N, K) assignment/posterior block per
+descriptor chunk. The XLA path (ops/vlad.py, ops/fisher.py) materializes
+that block in HBM for large N; these kernels keep it VMEM-resident: each
+grid step streams one descriptor chunk into VMEM, computes the (chunk, K)
+distances/posteriors on the MXU, and accumulates the (K, D) sufficient
+statistics in the output buffers — descriptors are read once and the
+(N, K) intermediate never touches HBM.
+
+Used automatically by the encode cores for large descriptor sets; the
+pure-XLA path remains the reference implementation and both are
+cross-checked in tests/test_pallas.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["vlad_aggregate_pallas", "fisher_stats_pallas"]
+
+_LOG_2PI = 1.8378770664093453
+
+
+def _vlad_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref):
+    """One grid step: aggregate a (BN, D) descriptor chunk.
+
+    sums (K, D) and counts (1, K) accumulate across the sequential TPU
+    grid; step 0 zero-initializes.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+
+    desc = desc_ref[:]  # (BN, D)
+    mask = mask_ref[:]  # (1, BN)
+    centers = centers_ref[:]  # (K, D)
+
+    # squared distances via the MXU cross term; ||x||^2 is constant per row
+    # and does not affect the argmin over K.
+    cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(centers * centers, axis=1)  # (K,)
+    neg_half_d2 = cross - 0.5 * c2[None, :]  # argmax == nearest centroid
+    labels = jnp.argmax(neg_half_d2, axis=1)  # (BN,)
+
+    one_hot = (
+        labels[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
+    ).astype(jnp.float32) * mask.reshape(-1, 1)
+
+    sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32)
+    counts_ref[:] += jnp.sum(one_hot, axis=0)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def vlad_aggregate_pallas(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    block_n: int = 1024,
+) -> jnp.ndarray:
+    """Unnormalized VLAD (K, D) residual matrix, fused in one kernel.
+
+    Semantics match ops.vlad.vlad_aggregate (reference semantics
+    pyvisim/encoders/vlad.py:95-104).
+    """
+    n, d = desc.shape
+    k = centers.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+    n_pad = desc.shape[0]
+    grid = n_pad // block_n
+
+    sums, counts = pl.pallas_call(
+        _vlad_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+        ],
+    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[None, :], centers)
+    return sums - counts[0][:, None] * centers
+
+
+def _fisher_kernel(
+    desc_ref, mask_ref, minv_ref, half_inv_ref, const_ref,
+    s0_ref, s1_ref, s2_ref,
+):
+    """One grid step of fused diag-GMM posterior + sufficient statistics.
+
+    minv = means / cov (K, D); half_inv = 0.5 / cov (K, D);
+    const = log w - 0.5 (D log 2pi + sum log cov + sum m^2/cov), shape (1, K).
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        s0_ref[:] = jnp.zeros_like(s0_ref)
+        s1_ref[:] = jnp.zeros_like(s1_ref)
+        s2_ref[:] = jnp.zeros_like(s2_ref)
+
+    desc = desc_ref[:]  # (BN, D)
+    mask = mask_ref[:].reshape(-1, 1)  # (BN, 1)
+    d2 = desc * desc
+
+    logp = (
+        jnp.dot(desc, minv_ref[:].T, preferred_element_type=jnp.float32)
+        - jnp.dot(d2, half_inv_ref[:].T, preferred_element_type=jnp.float32)
+        + const_ref[:]
+    )  # (BN, K)
+    q = jax.nn.softmax(logp, axis=-1) * mask  # (BN, K)
+
+    s0_ref[:] += jnp.sum(q, axis=0)[None, :]
+    s1_ref[:] += jnp.dot(q.T, desc, preferred_element_type=jnp.float32)
+    s2_ref[:] += jnp.dot(q.T, d2, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def fisher_stats_pallas(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray,
+    weights: jnp.ndarray,
+    means: jnp.ndarray,
+    covariances: jnp.ndarray,
+    *,
+    block_n: int = 1024,
+):
+    """Fused (pp_sum, pp_x, pp_x_2) normalized by the valid count —
+    semantics of ops.fisher.fisher_stats (reference
+    pyvisim/encoders/fisher_vector.py:99-104)."""
+    n, d = desc.shape
+    k = means.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+    grid = desc.shape[0] // block_n
+
+    inv_cov = 1.0 / covariances
+    minv = means * inv_cov
+    const = (
+        jnp.log(weights)
+        - 0.5
+        * (d * _LOG_2PI + jnp.sum(jnp.log(covariances), axis=1)
+           + jnp.sum(means * minv, axis=1))
+    )[None, :]
+
+    s0, s1, s2 = pl.pallas_call(
+        _fisher_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+        ],
+    )(
+        desc.astype(jnp.float32),
+        mask.astype(jnp.float32)[None, :],
+        minv,
+        0.5 * inv_cov,
+        const,
+    )
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    return s0[0] / n_valid, s1 / n_valid, s2 / n_valid

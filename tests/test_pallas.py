@@ -1,0 +1,52 @@
+"""Pallas fused aggregation kernels vs the XLA reference path.
+
+These run in Pallas interpret mode on CPU (the compiled path is exercised
+on real TPU hardware by bench.py / the verify drive).
+"""
+import jax
+import numpy as np
+import pytest
+
+from pyvisim_tpu.ops import GmmCodebook
+from pyvisim_tpu.ops.fisher import fisher_stats
+from pyvisim_tpu.ops.vlad import vlad_aggregate
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_vlad_pallas_matches_xla(rng):
+    from pyvisim_tpu.ops.pallas import vlad_aggregate_pallas
+
+    desc = rng.normal(size=(700, 32)).astype(np.float32)
+    mask = (rng.random(700) > 0.1).astype(np.float32)
+    centers = rng.normal(size=(16, 32)).astype(np.float32)
+    got = np.asarray(vlad_aggregate_pallas(desc, mask, centers, block_n=256))
+    want = np.asarray(vlad_aggregate(desc, mask, centers))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_fisher_pallas_matches_xla(rng):
+    from pyvisim_tpu.ops.pallas import fisher_stats_pallas
+
+    k, d = 8, 16
+    w = rng.random(k) + 0.1
+    gmm = GmmCodebook(
+        weights=(w / w.sum()).astype(np.float32),
+        means=rng.normal(size=(k, d)).astype(np.float32),
+        covariances=(rng.random((k, d)) + 0.5).astype(np.float32),
+    )
+    desc = rng.normal(size=(500, d)).astype(np.float32)
+    mask = (rng.random(500) > 0.1).astype(np.float32)
+    g0, g1, g2 = fisher_stats_pallas(
+        desc, mask, gmm.weights, gmm.means, gmm.covariances, block_n=128
+    )
+    w0, w1, w2 = fisher_stats(desc, mask, gmm)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(w0), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(w1), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(w2), rtol=1e-4, atol=1e-5)
