@@ -6,7 +6,6 @@ bootstrap (reference: pyvisim/_config.py:8-31), redesigned as plain Python
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import logging.handlers
 import os
@@ -37,26 +36,6 @@ def cache_dir() -> pathlib.Path:
         return pathlib.Path(user_cache_dir("pyvisim_tpu"))
     except Exception:  # pragma: no cover - platformdirs is expected to exist
         return pathlib.Path.home() / ".cache" / "pyvisim_tpu"
-
-
-@dataclasses.dataclass(frozen=True)
-class EncodeConfig:
-    """Static compile-time configuration of an encoder core.
-
-    All fields are hashable so the dataclass can be a static argument to
-    ``jax.jit``. Mirrors the reference's constructor-kwarg config surface
-    (reference: pyvisim/encoders/_base_encoder.py:184-220).
-    """
-
-    power_norm_weight: float = 1.0
-    norm_order: float = 2.0
-    epsilon: float = 1e-9
-    flatten: bool = True
-    # 'intra' normalizes each of the K rows independently (VLAD default,
-    # reference: pyvisim/encoders/vlad.py:107-108); 'global' normalizes the
-    # concatenated vector (Fisher default, fisher_vector.py:128-129).
-    norm_scope: str = "intra"
-    dtype: str = "float32"
 
 
 _LOGGING_CONFIGURED = False

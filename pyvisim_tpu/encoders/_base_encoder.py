@@ -439,6 +439,9 @@ class ImageEncoderBase(SimilarityMetric):
         *,
         n_clusters: int,
         dim_reduction_factor: int | None = None,
+        batch_size: int = 64,
+        max_descriptors: int | None = None,
+        seed: int = 0,
         **kwargs,
     ) -> None:
         """Learn the visual vocabulary (PCA + KMeans/GMM) from images,
@@ -447,13 +450,41 @@ class ImageEncoderBase(SimilarityMetric):
         Mirrors reference learn() semantics: optional PCA to
         ``feat_dim // dim_reduction_factor`` fitted on the raw descriptors,
         then the subclass's clustering model on (projected) descriptors.
+
+        Unlike the reference's all-in-RAM ``np.vstack``
+        (_base_encoder.py:320), images stream through the extractor in
+        ``batch_size`` chunks, and ``max_descriptors`` caps the training
+        set by uniform per-batch subsampling (recommended for
+        dataset-scale vocabularies).
         """
-        desc, mask = self.feature_extractor.extract_batch(images)
-        desc = jnp.asarray(desc)
-        mask = jnp.asarray(mask, jnp.float32)
-        b, n, d = desc.shape
-        flat = desc.reshape(b * n, d)
-        flat_mask = mask.reshape(b * n)
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        images = list(images) if not isinstance(images, np.ndarray) else images
+        n_batches = max(1, -(-len(images) // batch_size))
+        per_batch_cap = (
+            None if max_descriptors is None else max(1, max_descriptors // n_batches)
+        )
+        rng = np.random.default_rng(seed)
+        desc_parts, mask_parts = [], []
+        for start in range(0, len(images), batch_size):
+            d_b, m_b = self.feature_extractor.extract_batch(
+                images[start : start + batch_size]
+            )
+            d_b = np.asarray(d_b, np.float32).reshape(-1, np.asarray(d_b).shape[-1])
+            m_b = np.asarray(m_b, np.float32).reshape(-1)
+            if per_batch_cap is not None and d_b.shape[0] > per_batch_cap:
+                idx = rng.choice(
+                    d_b.shape[0],
+                    size=per_batch_cap,
+                    replace=False,
+                    p=m_b / max(m_b.sum(), 1.0),
+                )
+                d_b, m_b = d_b[idx], m_b[idx]
+            desc_parts.append(d_b)
+            mask_parts.append(m_b)
+        flat = jnp.asarray(np.concatenate(desc_parts))
+        flat_mask = jnp.asarray(np.concatenate(mask_parts))
+        d = flat.shape[1]
         logger.info(
             "Learning visual vocabulary: n_clusters=%d extractor=%s dim=%d",
             n_clusters,

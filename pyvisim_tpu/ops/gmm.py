@@ -29,29 +29,75 @@ def _e_step(x: jnp.ndarray, mask: jnp.ndarray, gmm: GmmCodebook):
     return resp, mean_ll
 
 
-def em_step(x: jnp.ndarray, mask: jnp.ndarray, gmm: GmmCodebook, reg_covar: float):
-    """One EM iteration -> (new GmmCodebook, mean log-likelihood)."""
-    resp, mean_ll = _e_step(x, mask, gmm)
-    nk = jnp.sum(resp, axis=0) + 10.0 * jnp.finfo(resp.dtype).eps  # (K,)
-    sums = jnp.dot(resp.T, x, preferred_element_type=jnp.float32)  # (K, D)
-    means = sums / nk[:, None]
-    sq = jnp.dot(resp.T, x * x, preferred_element_type=jnp.float32)  # (K, D)
-    covs = sq / nk[:, None] - means**2 + reg_covar
+def em_step(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    gmm: GmmCodebook,
+    reg_covar: float,
+    chunk_size: int | None = None,
+):
+    """One EM iteration -> (new GmmCodebook, mean log-likelihood).
+
+    With ``chunk_size`` the (N, K) responsibility matrix streams blockwise
+    under ``lax.scan`` (the Oxford-scale path — millions of descriptors)."""
+
+    def block_stats(xb, mb):
+        resp, _ = _e_step(xb, mb, gmm)
+        wlp = gmm_log_prob(xb, gmm)
+        log_norm = jax.scipy.special.logsumexp(wlp, axis=1)
+        s0 = jnp.sum(resp, axis=0)
+        s1 = jnp.dot(resp.T, xb, preferred_element_type=jnp.float32)
+        s2 = jnp.dot(resp.T, xb * xb, preferred_element_type=jnp.float32)
+        ll = jnp.sum(log_norm * mb)
+        return s0, s1, s2, ll
+
+    n = x.shape[0]
+    if chunk_size is None or chunk_size >= n:
+        s0, s1, s2, ll = block_stats(x, mask)
+    else:
+        pad = (-n) % chunk_size
+        if pad:
+            x_p = jnp.pad(x, ((0, pad), (0, 0)))
+            m_p = jnp.pad(mask, (0, pad))
+        else:
+            x_p, m_p = x, mask
+        xc = x_p.reshape(-1, chunk_size, x.shape[1])
+        mc = m_p.reshape(-1, chunk_size)
+
+        def body(carry, xm):
+            c0, c1, c2, cl = carry
+            b0, b1, b2, bl = block_stats(*xm)
+            return (c0 + b0, c1 + b1, c2 + b2, cl + bl), None
+
+        k, d = gmm.means.shape
+        init = (
+            jnp.zeros((k,), jnp.float32),
+            jnp.zeros((k, d), jnp.float32),
+            jnp.zeros((k, d), jnp.float32),
+            jnp.float32(0.0),
+        )
+        (s0, s1, s2, ll), _ = jax.lax.scan(body, init, (xc, mc))
+
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    mean_ll = ll / n_valid
+    nk = s0 + 10.0 * jnp.finfo(s0.dtype).eps  # (K,)
+    means = s1 / nk[:, None]
+    covs = s2 / nk[:, None] - means**2 + reg_covar
     covs = jnp.maximum(covs, reg_covar)
-    weights = nk / jnp.maximum(jnp.sum(mask), 1.0)
+    weights = nk / n_valid
     weights = weights / jnp.sum(weights)
     return GmmCodebook(weights=weights, means=means, covariances=covs), mean_ll
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _gmm_em_impl(x, mask, init_gmm, max_iters, tol, reg_covar):
+@partial(jax.jit, static_argnames=("max_iters", "chunk_size"))
+def _gmm_em_impl(x, mask, init_gmm, max_iters, tol, reg_covar, chunk_size):
     def cond(state):
         _, prev_ll, ll, it = state
         return jnp.logical_and(it < max_iters, jnp.abs(ll - prev_ll) > tol)
 
     def body(state):
         gmm, _, ll, it = state
-        new_gmm, new_ll = em_step(x, mask, gmm, reg_covar)
+        new_gmm, new_ll = em_step(x, mask, gmm, reg_covar, chunk_size)
         return new_gmm, ll, new_ll, it + 1
 
     init_state = (init_gmm, jnp.float32(-jnp.inf), jnp.float32(jnp.inf), 0)
@@ -69,25 +115,32 @@ def gmm_fit(
     reg_covar: float = 1e-6,
     seed: int = 0,
     kmeans_iters: int = 25,
+    chunk_size: int | None = None,
 ):
     """Fit a diag-covariance GMM on ``x (N, D)``.
 
     Initialization follows sklearn's default strategy: a K-Means clustering
     seeds the responsibilities (here: the fitted centers seed the means,
     with cluster-wise moments for weights/covariances). Returns
-    ``(GmmCodebook, final mean log-likelihood)``.
+    ``(GmmCodebook, final mean log-likelihood)``. For large N a
+    ``chunk_size`` is chosen automatically so the per-iteration (N, K)
+    responsibility block stays bounded.
     """
     x = jnp.asarray(x, jnp.float32)
     if mask is None:
         mask = jnp.ones((x.shape[0],), jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    if chunk_size is None and x.shape[0] * n_components > 64_000_000:
+        chunk_size = 65536
 
     km, _ = kmeans_fit(
-        x, n_components, mask=mask, max_iters=kmeans_iters, seed=seed
+        x, n_components, mask=mask, max_iters=kmeans_iters, seed=seed,
+        chunk_size=chunk_size,
     )
     init = _init_from_kmeans(x, mask, km, reg_covar)
     gmm, ll, _ = _gmm_em_impl(
-        x, mask, init, max_iters, jnp.float32(tol), jnp.float32(reg_covar)
+        x, mask, init, max_iters, jnp.float32(tol), jnp.float32(reg_covar),
+        chunk_size,
     )
     return gmm, float(ll)
 

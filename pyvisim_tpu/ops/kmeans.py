@@ -55,28 +55,79 @@ def kmeans_plus_plus_init(
     return centers
 
 
-def lloyd_step(x: jnp.ndarray, mask: jnp.ndarray, centers: jnp.ndarray):
+def lloyd_step(
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    centers: jnp.ndarray,
+    chunk_size: int | None = None,
+):
     """One Lloyd iteration -> (new_centers, inertia).
 
     Empty clusters keep their previous center (sklearn relocates them to
     far points; for vocabulary learning keeping the center is stable and
     deterministic, and parity is gated on downstream retrieval metrics).
+
+    With ``chunk_size`` the (N, K) distance matrix is consumed blockwise
+    under ``lax.scan`` so arbitrarily many descriptors stream through
+    without materializing N x K in HBM (the Oxford-scale path: ~12M
+    descriptors x K=256).
     """
-    d2 = pairwise_sqdist(x, centers)
-    labels = jnp.argmin(d2, axis=1)
-    inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
-    one_hot = jax.nn.one_hot(labels, centers.shape[0], dtype=x.dtype) * mask[:, None]
-    counts = jnp.sum(one_hot, axis=0)
-    sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
+
+    def block_stats(xb, mb):
+        d2 = pairwise_sqdist(xb, centers)
+        labels = jnp.argmin(d2, axis=1)
+        inertia = jnp.sum(jnp.min(d2, axis=1) * mb)
+        one_hot = jax.nn.one_hot(labels, centers.shape[0], dtype=xb.dtype) * mb[:, None]
+        counts = jnp.sum(one_hot, axis=0)
+        sums = jnp.dot(one_hot.T, xb, preferred_element_type=jnp.float32)
+        return sums, counts, inertia
+
+    n = x.shape[0]
+    if chunk_size is None or chunk_size >= n:
+        sums, counts, inertia = block_stats(x, mask)
+    else:
+        pad = (-n) % chunk_size
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            mask = jnp.pad(mask, (0, pad))
+        xc = x.reshape(-1, chunk_size, x.shape[1])
+        mc = mask.reshape(-1, chunk_size)
+
+        def body(carry, xm):
+            s, c, i = carry
+            bs, bc, bi = block_stats(*xm)
+            return (s + bs, c + bc, i + bi), None
+
+        init = (
+            jnp.zeros((centers.shape[0], x.shape[1]), jnp.float32),
+            jnp.zeros((centers.shape[0],), jnp.float32),
+            jnp.float32(0.0),
+        )
+        (sums, counts, inertia), _ = jax.lax.scan(body, init, (xc, mc))
+
     new_centers = jnp.where(
         counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
     )
     return new_centers, inertia
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iters"))
-def _kmeans_fit_impl(key, x, mask, n_clusters, max_iters, tol):
-    centers0 = kmeans_plus_plus_init(key, x, n_clusters, mask)
+@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk_size", "init_subsample"))
+def _kmeans_fit_impl(key, x, mask, n_clusters, max_iters, tol, chunk_size, init_subsample):
+    if init_subsample and x.shape[0] > init_subsample:
+        # k-means++ is O(N*K); seed from a masked subsample for huge N.
+        sub_key, key = jax.random.split(key)
+        idx = jax.random.choice(
+            sub_key,
+            x.shape[0],
+            shape=(init_subsample,),
+            replace=False,
+            p=mask / jnp.maximum(jnp.sum(mask), 1.0),
+        )
+        centers0 = kmeans_plus_plus_init(
+            key, x[idx], n_clusters, jnp.ones((init_subsample,), x.dtype)
+        )
+    else:
+        centers0 = kmeans_plus_plus_init(key, x, n_clusters, mask)
 
     def cond(state):
         _, shift, it, _ = state
@@ -84,7 +135,7 @@ def _kmeans_fit_impl(key, x, mask, n_clusters, max_iters, tol):
 
     def body(state):
         centers, _, it, _ = state
-        new_centers, inertia = lloyd_step(x, mask, centers)
+        new_centers, inertia = lloyd_step(x, mask, centers, chunk_size)
         shift = jnp.sum((new_centers - centers) ** 2)
         return new_centers, shift, it + 1, inertia
 
@@ -103,23 +154,30 @@ def kmeans_fit(
     tol: float = 1e-6,
     seed: int = 0,
     n_init: int = 1,
+    chunk_size: int | None = None,
+    init_subsample: int = 65536,
 ):
     """Fit K-Means on descriptors ``x (N, D)``; returns
     ``(KMeansCodebook, inertia)`` of the best of ``n_init`` seedings.
 
     Defaults mirror sklearn's (max_iter=300); ``tol`` here is an absolute
-    squared center shift.
+    squared center shift. For large N a ``chunk_size`` is chosen
+    automatically so the per-iteration distance block stays bounded, and
+    k-means++ seeding runs on an ``init_subsample`` of the data.
     """
     x = jnp.asarray(x, jnp.float32)
     if mask is None:
         mask = jnp.ones((x.shape[0],), jnp.float32)
     mask = jnp.asarray(mask, jnp.float32)
+    if chunk_size is None and x.shape[0] * n_clusters > 64_000_000:
+        chunk_size = 65536
 
     best = None
     for i in range(n_init):
         key = jax.random.PRNGKey(seed + i)
         centers, inertia, _ = _kmeans_fit_impl(
-            key, x, mask, n_clusters, max_iters, jnp.float32(tol)
+            key, x, mask, n_clusters, max_iters, jnp.float32(tol),
+            chunk_size, init_subsample,
         )
         inertia = float(inertia)
         if best is None or inertia < best[1]:

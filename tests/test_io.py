@@ -1,0 +1,66 @@
+"""Host IO layer tests: native C++ JPEG loader vs OpenCV golden."""
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from pyvisim_tpu.io import imread_rgb, imread_rgb_batch, native_loader_available
+
+
+@pytest.fixture
+def jpegs(tmp_path, rng):
+    paths = []
+    for i in range(5):
+        img = (rng.random((60 + 7 * i, 90, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / f"im{i}.jpg")
+        cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+        paths.append(p)
+    return paths
+
+
+def test_native_loader_built():
+    # tools/build_native.py output ships with the repo build
+    assert native_loader_available()
+
+
+def test_single_decode_matches_opencv(jpegs):
+    for p in jpegs:
+        ours = imread_rgb(p)
+        want = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        assert ours.shape == want.shape
+        np.testing.assert_array_equal(ours, want)
+
+
+def test_batch_decode_resize(jpegs):
+    batch = imread_rgb_batch(jpegs, target_size=(32, 48))
+    assert isinstance(batch, np.ndarray)
+    assert batch.shape == (5, 32, 48, 3) and batch.dtype == np.uint8
+    # within rounding of OpenCV's INTER_LINEAR
+    want = cv2.resize(
+        cv2.cvtColor(cv2.imread(jpegs[0]), cv2.COLOR_BGR2RGB),
+        (48, 32),
+        interpolation=cv2.INTER_LINEAR,
+    )
+    diff = np.abs(batch[0].astype(int) - want.astype(int))
+    assert diff.max() <= 2
+
+
+def test_batch_without_resize_returns_list(jpegs):
+    out = imread_rgb_batch(jpegs)
+    assert isinstance(out, list) and len(out) == 5
+    assert out[0].shape[2] == 3
+
+
+def test_non_jpeg_fallback(tmp_path, rng):
+    img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+    p = str(tmp_path / "x.png")
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    out = imread_rgb(p)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        imread_rgb("/nonexistent/path.png")

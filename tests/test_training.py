@@ -85,3 +85,41 @@ def test_pca_matches_sklearn(rng):
     np.testing.assert_allclose(
         np.abs(np.asarray(ours(x[:10]))), np.abs(sk.transform(x[:10])), rtol=1e-2, atol=1e-3
     )
+
+
+def test_kmeans_chunked_matches_unchunked(blobs):
+    x, _, _ = blobs
+    cb_a, in_a = kmeans_fit(x, 5, seed=1, chunk_size=128)
+    cb_b, in_b = kmeans_fit(x, 5, seed=1)
+    np.testing.assert_allclose(
+        np.asarray(cb_a.centers), np.asarray(cb_b.centers), rtol=1e-4, atol=1e-4
+    )
+    assert in_a == pytest.approx(in_b, rel=1e-4)
+
+
+def test_gmm_chunked_matches_unchunked(blobs):
+    x, _, _ = blobs
+    g_a, ll_a = gmm_fit(x, 5, seed=0, chunk_size=128)
+    g_b, ll_b = gmm_fit(x, 5, seed=0)
+    np.testing.assert_allclose(
+        np.asarray(g_a.means), np.asarray(g_b.means), rtol=1e-3, atol=1e-3
+    )
+    assert ll_a == pytest.approx(ll_b, rel=1e-3)
+
+
+def test_learn_with_descriptor_cap(rng):
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import Lambda
+
+    centers = rng.normal(scale=10.0, size=(4, 8)).astype(np.float32)
+
+    def fn(image):
+        r = np.random.default_rng(int(image.sum()) % 2**31)
+        lab = r.integers(0, 4, size=200)
+        return (centers[lab] + r.normal(scale=0.1, size=(200, 8))).astype(np.float32)
+
+    enc = VLADEncoder(feature_extractor=Lambda(fn, output_dim=8))
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in range(6)]
+    enc.learn(imgs, n_clusters=4, batch_size=2, max_descriptors=400)
+    got = np.sort(np.asarray(enc.clustering_model.centers), axis=0)
+    np.testing.assert_allclose(got, np.sort(centers, axis=0), atol=0.3)
