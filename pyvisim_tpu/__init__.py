@@ -24,4 +24,20 @@ __all__ = [
     "models",
     "parallel",
     "losses",
+    "neural_networks",
+    "io",
+    "profiling",
+    "checkpoint",
 ]
+
+
+def __getattr__(name):
+    # Lazy subpackage imports: `import pyvisim_tpu` stays light (no cv2 /
+    # flax / h5py import cost) while `pyvisim_tpu.encoders` still resolves.
+    if name in __all__:
+        import importlib
+
+        module = importlib.import_module(f".{name}", __name__)
+        globals()[name] = module
+        return module
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -209,9 +209,11 @@ class DeepConvFeature(FeatureExtractorBase):
     docstring at _features.py:170 claims normalization; the code at
     :192-194 has none — we follow the code).
 
-    :param cfg_name: VGG variant ("vgg11"/"vgg16"/"vgg19").
-    :param params: Flax params; None -> deterministic random init (seed 0).
-        Use ``models.vgg.params_from_torch_state_dict`` for pretrained
+    :param cfg_name: VGG variant ("vgg11"/"vgg16"/"vgg19"); ignored when a
+        custom ``module`` is given.
+    :param params: Flax params; None -> deterministic random init (seed 0;
+        required for custom modules). Use
+        ``models.vgg.params_from_torch_state_dict`` for pretrained
         torchvision checkpoints.
     :param layer_index: conv layer to capture (negative from the end).
     :param spatial_encoding: append (x/Wf, y/Hf) to each descriptor.
@@ -219,6 +221,10 @@ class DeepConvFeature(FeatureExtractorBase):
     :param transform: optional callable ``(B, H, W, 3) uint8/float ->
         (B, image_size, image_size, 3) float in [0, 1]`` replacing the
         default resize.
+    :param module: optional custom Flax module whose ``apply(params, x)``
+        returns a ``(B, Hf, Wf, C)`` feature map — the TPU-native analog of
+        the reference's arbitrary torch model + ``target_submodule`` hook
+        (reference _features.py:177-211); requires ``params``.
     """
 
     def __init__(
@@ -230,6 +236,7 @@ class DeepConvFeature(FeatureExtractorBase):
         image_size: int = 224,
         transform: Callable | None = None,
         dtype: Any = jnp.float32,
+        module: Any = None,
     ):
         super().__init__()
         self.cfg_name = cfg_name
@@ -238,27 +245,48 @@ class DeepConvFeature(FeatureExtractorBase):
         self.image_size = image_size
         self.transform = transform
         self.dtype = dtype
-        self._model = vgg_lib.VGGConvFeatures(
-            cfg_name=cfg_name, layer_index=layer_index, dtype=dtype
-        )
-        if params is None:
-            logger.warning(
-                "DeepConvFeature: no pretrained params given; using "
-                "deterministic random initialization (seed 0). Convert a "
-                "torchvision checkpoint with models.vgg.params_from_torch_state_dict "
-                "for pretrained behavior."
+        if module is not None:
+            if params is None:
+                raise ValueError("A custom module requires explicit params.")
+            self._model = module
+            self.params = params
+            # probe the feature-map geometry once with an abstract trace
+            out = jax.eval_shape(
+                lambda p, x: module.apply(p, x),
+                params,
+                jax.ShapeDtypeStruct((1, image_size, image_size, 3), dtype),
             )
-            params = vgg_lib.init_params(
-                cfg_name, layer_index, seed=0, image_size=image_size, dtype=dtype
+            if len(out.shape) != 4:
+                raise ValueError(
+                    f"Custom module must return a (B, Hf, Wf, C) feature map, "
+                    f"got shape {out.shape}."
+                )
+            self._fmap_hw = (out.shape[1], out.shape[2])
+            c = out.shape[3]
+        else:
+            self._model = vgg_lib.VGGConvFeatures(
+                cfg_name=cfg_name, layer_index=layer_index, dtype=dtype
             )
-        self.params = params
-        n_convs = vgg_lib.num_conv_layers(cfg_name)
-        if not -n_convs <= layer_index < n_convs:
-            raise IndexError(
-                f"Model {cfg_name} has only {n_convs} convolutional layers. "
-                f"Got layer_index={layer_index}."
-            )
-        c = vgg_lib.conv_out_channels(cfg_name, layer_index)
+            if params is None:
+                logger.warning(
+                    "DeepConvFeature: no pretrained params given; using "
+                    "deterministic random initialization (seed 0). Convert a "
+                    "torchvision checkpoint with "
+                    "models.vgg.params_from_torch_state_dict for pretrained "
+                    "behavior."
+                )
+                params = vgg_lib.init_params(
+                    cfg_name, layer_index, seed=0, image_size=image_size, dtype=dtype
+                )
+            self.params = params
+            n_convs = vgg_lib.num_conv_layers(cfg_name)
+            if not -n_convs <= layer_index < n_convs:
+                raise IndexError(
+                    f"Model {cfg_name} has only {n_convs} convolutional layers. "
+                    f"Got layer_index={layer_index}."
+                )
+            self._fmap_hw = None
+            c = vgg_lib.conv_out_channels(cfg_name, layer_index)
         self._output_dim = c + 2 if spatial_encoding else c
         self._jit_forward = jax.jit(self._forward)
 
@@ -275,6 +303,8 @@ class DeepConvFeature(FeatureExtractorBase):
     @property
     def descriptor_budget(self) -> int | None:
         # Feature-map locations are fixed by the static input size.
+        if self._fmap_hw is not None:
+            return self._fmap_hw[0] * self._fmap_hw[1]
         n_pools_before = 0
         cfg = vgg_lib.VGG_CFGS[self.cfg_name]
         target = self.layer_index % vgg_lib.num_conv_layers(self.cfg_name)

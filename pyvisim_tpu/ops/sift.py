@@ -57,6 +57,10 @@ class SiftConfig:
     ori_patch_radius: int = 16  # >= round(4.5 * sigma * 2^(3.5/3)) = 16
     desc_patch_radius: int = 40  # >= hist_width * sqrt(2) * 2.5 at max scale
     refine_steps: int = 5
+    # OpenCV emits an extra keypoint per secondary orientation peak
+    # >= 0.8 * max (SIFT_ORI_PEAK_RATIO); False keeps only the dominant
+    # orientation (faster, slightly fewer descriptors).
+    multi_orientation: bool = True
 
     @property
     def base_size(self) -> int:
@@ -339,15 +343,29 @@ def _orientation(gauss, layer, r, c, scl_oct, valid, cfg: SiftConfig):
         )
 
     hist = smooth(hist)
+
+    def peak_theta(peak):
+        l_ = hist[(peak - 1) % n_bins]
+        c_ = hist[peak]
+        r_ = hist[(peak + 1) % n_bins]
+        denom = l_ - 2.0 * c_ + r_
+        interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l_ - r_) / denom, 0.0)
+        return (peak.astype(jnp.float32) + interp) * (2.0 * jnp.pi / n_bins)
+
     peak = jnp.argmax(hist)
-    l_ = hist[(peak - 1) % n_bins]
-    c_ = hist[peak]
-    r_ = hist[(peak + 1) % n_bins]
-    denom = l_ - 2.0 * c_ + r_
-    interp = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l_ - r_) / denom, 0.0)
-    fbin_peak = peak.astype(jnp.float32) + interp
-    theta = fbin_peak * (2.0 * jnp.pi / n_bins)
-    return jnp.where(valid, theta, 0.0)
+    theta = jnp.where(valid, peak_theta(peak), 0.0)
+
+    # strongest secondary local peak >= 0.8 * max (OpenCV SIFT_ORI_PEAK_RATIO
+    # emits a duplicate keypoint per such peak; we keep the best one)
+    left = jnp.roll(hist, 1)
+    right = jnp.roll(hist, -1)
+    omax = hist[peak]
+    is_peak = (hist > left) & (hist >= right) & (hist >= 0.8 * omax)
+    is_peak = is_peak & (jnp.arange(n_bins) != peak)
+    second = jnp.argmax(jnp.where(is_peak, hist, -jnp.inf))
+    has_second = jnp.any(is_peak) & valid
+    theta2 = jnp.where(has_second, peak_theta(second), 0.0)
+    return theta, theta2, has_second
 
 
 # ---------------------------------------------------------------------------
@@ -455,14 +473,17 @@ def _descriptor(gauss, layer, r, c, scl_oct, theta, valid, cfg: SiftConfig):
 def _chunked_vmap(fn, args, chunk: int):
     """vmap ``fn`` over the leading axis, sequentially in chunks via
     ``lax.map`` — bounds the live memory of per-candidate patch pipelines
-    (a full vmap would materialize every candidate's patches at once)."""
+    (a full vmap would materialize every candidate's patches at once).
+    ``fn`` may return an array or a pytree of arrays."""
     k = args[0].shape[0]
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or 1
     n_chunks = k // chunk
     reshaped = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
     out = jax.lax.map(lambda ch: jax.vmap(fn)(*ch), reshaped)
-    return out.reshape((k,) + out.shape[2:])
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((k,) + a.shape[2:]), out
+    )
 
 
 def _detect_octave(gauss_o, dog_o, budget, cfg: SiftConfig):
@@ -483,25 +504,42 @@ def _detect_octave(gauss_o, dog_o, budget, cfg: SiftConfig):
     )
     scl_oct = cfg.sigma * 2.0 ** ((layer.astype(jnp.float32) + xi) / cfg.n_octave_layers)
 
-    theta = _chunked_vmap(
+    theta, theta2, has_second = _chunked_vmap(
         lambda l, rr, cc, s, v: _orientation(gauss_o, l, rr, cc, s, v, cfg),
         (layer, r, c, scl_oct, ok),
         chunk=min(256, budget),
     )
-    desc = _chunked_vmap(
-        lambda l, rr, cc, s, t, v: _descriptor(gauss_o, l, rr, cc, s, t, v, cfg),
-        (layer, r, c, scl_oct, theta, ok),
-        chunk=min(64, budget),
-    )
-    return {
-        "desc": desc,
-        "response": jnp.where(ok, jnp.abs(contr), -1.0),
-        "valid": ok,
+
+    def describe(thetas, valids):
+        return _chunked_vmap(
+            lambda l, rr, cc, s, t, v: _descriptor(gauss_o, l, rr, cc, s, t, v, cfg),
+            (layer, r, c, scl_oct, thetas, valids),
+            chunk=min(64, budget),
+        )
+
+    common = {
         "r": r.astype(jnp.float32) + xr,
         "c": c.astype(jnp.float32) + xc,
         "scl_oct": scl_oct,
-        "theta": theta,
     }
+    out = {
+        "desc": describe(theta, ok),
+        "response": jnp.where(ok, jnp.abs(contr), -1.0),
+        "valid": ok,
+        "theta": theta,
+        **common,
+    }
+    if cfg.multi_orientation:
+        ok2 = ok & has_second
+        out2 = {
+            "desc": describe(theta2, ok2),
+            "response": jnp.where(ok2, jnp.abs(contr), -1.0),
+            "valid": ok2,
+            "theta": theta2,
+            **common,
+        }
+        out = {k: jnp.concatenate([out[k], out2[k]], axis=0) for k in out}
+    return out
 
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:

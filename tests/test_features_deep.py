@@ -119,3 +119,31 @@ def test_lambda_extractor_contract():
     bad = Lambda(lambda img: np.ones((5, 3), np.float32), output_dim=7)
     with pytest.raises(ValueError):
         bad(img)
+
+
+def test_custom_flax_module():
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as fnn
+
+    class Tiny(fnn.Module):
+        @fnn.compact
+        def __call__(self, x):
+            x = fnn.relu(fnn.Conv(8, (3, 3), strides=2, padding=1)(x))
+            return fnn.Conv(12, (3, 3), strides=2, padding=1)(x)
+
+    mod = Tiny()
+    params = mod.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    ext = DeepConvFeature(module=mod, params=params, image_size=32)
+    assert ext.output_dim == 14  # 12 channels + 2 coords
+    assert ext.descriptor_budget == 8 * 8
+    img = (np.random.default_rng(0).random((40, 50, 3)) * 255).astype(np.uint8)
+    desc = ext(img)
+    assert desc.shape == (64, 14)
+
+
+def test_custom_module_requires_params():
+    from flax import linen as fnn
+
+    with pytest.raises(ValueError, match="requires explicit params"):
+        DeepConvFeature(module=fnn.Dense(4))
