@@ -14,8 +14,11 @@ Prints ONE JSON line:
 5,000 images/sec/chip on v5e (the reference publishes no throughput
 numbers).
 
-Env knobs: PYVISIM_BENCH_BATCH (default 64), PYVISIM_BENCH_DTYPE
-(bfloat16|float32, default bfloat16), PYVISIM_BENCH_STEPS (default 20).
+Env knobs: PYVISIM_BENCH_BATCH (default 128), PYVISIM_BENCH_DTYPE
+(bfloat16|float32, default bfloat16), PYVISIM_BENCH_STEPS (default 20),
+PYVISIM_BENCH_METRIC=throughput|latency (default throughput; latency
+measures p50 single-query encode + gallery-search time, the BASELINE.md
+"p50 query latency" row).
 """
 from __future__ import annotations
 
@@ -26,7 +29,56 @@ import time
 import numpy as np
 
 
+def latency_main() -> None:
+    """p50 end-to-end query latency: encode ONE image (VGG16 -> VLAD-k256)
+    and rank it against a 6,149-vector gallery (Oxford-102 train size)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.features import DeepConvFeature
+    from pyvisim_tpu.ops.similarity import cosine_similarity_matrix
+    from pyvisim_tpu.ops.vlad import vlad_encode
+
+    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    ext = DeepConvFeature(cfg_name="vgg16", image_size=224, dtype=dtype)
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
+    gallery = jnp.asarray(
+        rng.normal(size=(6149, 256 * 514)).astype(np.float32)
+    )
+
+    @jax.jit
+    def query(image):
+        desc = ext._forward(image[None]).astype(jnp.float32)
+        vec = jax.vmap(lambda d: vlad_encode(d, None, centers))(desc)
+        sims = cosine_similarity_matrix(vec, gallery)
+        return jax.lax.top_k(sims[0], 5)
+
+    img = jnp.asarray((rng.random((224, 224, 3)) * 255).astype(np.uint8))
+    jax.block_until_ready(query(img))  # compile
+    times = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        jax.block_until_ready(query(img))
+        times.append(time.perf_counter() - t0)
+    p50_ms = float(np.percentile(times, 50) * 1e3)
+    print(
+        json.dumps(
+            {
+                "metric": "vlad_k256_query_p50_latency",
+                "value": round(p50_ms, 3),
+                "unit": "ms",
+                "vs_baseline": 0.0,  # no reference latency value exists
+            }
+        )
+    )
+
+
 def main() -> None:
+    if os.environ.get("PYVISIM_BENCH_METRIC", "throughput") == "latency":
+        latency_main()
+        return
     import jax
     import jax.numpy as jnp
 

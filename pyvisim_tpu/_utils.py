@@ -13,13 +13,12 @@ import json
 import os
 import shutil
 from dataclasses import dataclass
-from typing import Any, Literal, Optional, Union
+from typing import Any, Literal, Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ._config import get_logger
-from ._errors import InvalidImageError
 from ._validation import check_is_image, is_numpy_image, is_torch_image
 from .ops.similarity import cosine_similarity_matrix
 

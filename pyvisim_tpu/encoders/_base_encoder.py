@@ -27,7 +27,6 @@ from ..ops import codebooks as cb
 from ..ops import gmm as gmm_ops
 from ..ops import kmeans as kmeans_ops
 from ..ops import pca as pca_ops
-from .._utils import cosine_similarity
 
 logger = get_logger("encoders")
 

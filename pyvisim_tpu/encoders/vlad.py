@@ -9,7 +9,6 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import jax
-import numpy as np
 
 from .._utils import cosine_similarity
 from ..features import FeatureExtractorBase, RootSIFT

@@ -60,15 +60,34 @@ def retrieve_top_k_similar(
     return [(all_paths[i], scores[i]) for i in top_k_indices]
 
 
+def _similarities(query_vecs, gallery_vecs, mesh=None) -> np.ndarray:
+    if mesh is not None:
+        import jax.numpy as jnp
+
+        from .parallel import sharded_cosine_similarity
+
+        return np.asarray(
+            sharded_cosine_similarity(
+                jnp.asarray(query_vecs), jnp.asarray(gallery_vecs), mesh
+            )
+        )
+    return cosine_similarity(query_vecs, gallery_vecs)
+
+
 def _ranked_relevance(
     query_vecs: np.ndarray,
     gallery_vecs: np.ndarray,
     gallery_labels: np.ndarray,
     query_labels: np.ndarray,
     k: int | None,
+    mesh=None,
 ) -> np.ndarray:
-    """(Q, N_considered) boolean relevance in ranked order."""
-    sims = cosine_similarity(query_vecs, gallery_vecs)  # (Q, N)
+    """(Q, N_considered) boolean relevance in ranked order.
+
+    With ``mesh`` the (Q, D) x (D, N) similarity matmul runs sharded over
+    the mesh's 'data' axis (queries partitioned across chips).
+    """
+    sims = _similarities(query_vecs, gallery_vecs, mesh)  # (Q, N)
     order = np.argsort(-sims, axis=1, kind="stable")
     if k is not None:
         order = order[:, :k]
@@ -96,13 +115,19 @@ def top_k_map(
     encoder,
     k: int | None = None,
     batch_size: int = 64,
+    mesh=None,
 ) -> float:
-    """Mean Average Precision over queries (parity: eval.py:49-100)."""
+    """Mean Average Precision over queries (parity: eval.py:49-100).
+
+    ``mesh`` routes the similarity matmul through the sharded multi-chip
+    path (pyvisim_tpu.parallel)."""
     all_paths, all_vectors = _gallery(encoding_map)
     gallery_labels = np.array([path_labels_dict[p] for p in all_paths])
     query_labels = np.array(list(image_labels))
     query_vecs = _encode_queries(encoder, images, batch_size)
-    rel = _ranked_relevance(query_vecs, all_vectors, gallery_labels, query_labels, k)
+    rel = _ranked_relevance(
+        query_vecs, all_vectors, gallery_labels, query_labels, k, mesh
+    )
     return float(np.mean(average_precision(rel)))
 
 
@@ -114,12 +139,15 @@ def top_k_accuracy(
     encoder,
     k: int,
     batch_size: int = 64,
+    mesh=None,
 ) -> float:
     """Fraction of queries with >= 1 same-label hit in the top k
-    (parity: eval.py:102-145)."""
+    (parity: eval.py:102-145). ``mesh`` shards the similarity matmul."""
     all_paths, all_vectors = _gallery(encoding_map)
     gallery_labels = np.array([path_labels_dict[p] for p in all_paths])
     query_labels = np.array(list(image_labels))
     query_vecs = _encode_queries(encoder, images, batch_size)
-    rel = _ranked_relevance(query_vecs, all_vectors, gallery_labels, query_labels, k)
+    rel = _ranked_relevance(
+        query_vecs, all_vectors, gallery_labels, query_labels, k, mesh
+    )
     return float(np.mean(rel.any(axis=1)))

@@ -14,7 +14,7 @@ redesigned TPU-first:
 from __future__ import annotations
 
 from functools import wraps
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
-from ..losses import nt_xent_loss, triplet_loss
+from ..losses import nt_xent_loss
 from .vgg import VGG_CFGS
 
 __all__ = ["SiameseEmbedder", "TrainState", "create_train_state", "train_step", "embed"]

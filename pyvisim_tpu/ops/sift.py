@@ -26,9 +26,9 @@ Static-shape design (everything jits):
     |contrast| with a validity mask
 
 Deliberate deviations from OpenCV (gated on retrieval-metric parity, see
-SURVEY.md §7 hard-part 1): fixed processing resolution; only the dominant
-orientation per keypoint (OpenCV may emit extra keypoints at secondary
-peaks >= 0.8 * max).
+SURVEY.md §7 hard-part 1): fixed processing resolution; at most one
+secondary-orientation duplicate per keypoint (OpenCV emits one per peak
+>= 0.8 * max; more than two such peaks is rare).
 """
 from __future__ import annotations
 
@@ -40,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .gaussian import gaussian_blur_batch, gaussian_kernel1d
+from .gaussian import gaussian_blur_batch
 
 __all__ = ["SiftConfig", "sift_single", "sift_batch", "sift_descriptors"]
 

@@ -63,3 +63,20 @@ def test_siamese_checkpoint_roundtrip(tmp_path, rng):
 
 
 import jax  # noqa: E402  (used in test body)
+
+
+def test_extractor_reentrancy_under_threads(rng):
+    """The reference's DeepConvFeature shares a hook buffer across calls
+    (reference _features.py:260 — not thread-safe). Ours is stateless:
+    concurrent extractions from one instance must match serial results."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyvisim_tpu.features import DeepConvFeature
+
+    ext = DeepConvFeature(image_size=32, cfg_name="vgg11")
+    imgs = [(rng.random((32, 32, 3)) * 255).astype(np.uint8) for _ in range(8)]
+    serial = [ext(im) for im in imgs]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        parallel = list(pool.map(ext, imgs))
+    for s, p in zip(serial, parallel):
+        np.testing.assert_allclose(s, p, rtol=1e-5, atol=1e-6)

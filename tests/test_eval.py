@@ -108,3 +108,16 @@ def test_perfect_retrieval_scores_one(rng):
     enc = StubEncoder({i: g_vecs[i] for i in range(4)})
     assert top_k_accuracy(images, list(range(4)), emap, plabels, enc, k=1) == 1.0
     assert top_k_map(images, list(range(4)), emap, plabels, enc) == 1.0
+
+
+def test_eval_with_mesh_matches_no_mesh(retrieval_setup):
+    from pyvisim_tpu.parallel import make_mesh
+
+    mesh = make_mesh(8, axis_names=("data",))
+    enc, images, q_labels, emap, plabels, *_ = retrieval_setup
+    a = top_k_map(images, q_labels, emap, plabels, enc, k=5)
+    b = top_k_map(images, q_labels, emap, plabels, enc, k=5, mesh=mesh)
+    assert a == pytest.approx(b, abs=1e-5)
+    c = top_k_accuracy(images, q_labels, emap, plabels, enc, k=3)
+    d = top_k_accuracy(images, q_labels, emap, plabels, enc, k=3, mesh=mesh)
+    assert c == d
