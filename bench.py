@@ -44,9 +44,11 @@ def latency_main() -> None:
     ext = DeepConvFeature(cfg_name="vgg16", image_size=224, dtype=dtype)
     rng = np.random.default_rng(0)
     centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
-    gallery = jnp.asarray(
-        rng.normal(size=(6149, 256 * 514)).astype(np.float32)
-    )
+    # generate the 6149 x 131584 gallery on-device (a ~3 GB host transfer
+    # through the axon relay is pathologically slow in this image)
+    gallery = jax.jit(
+        lambda key: jax.random.normal(key, (6149, 256 * 514), jnp.float32)
+    )(jax.random.PRNGKey(0))
 
     @jax.jit
     def query(image):

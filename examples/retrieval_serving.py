@@ -1,0 +1,54 @@
+"""Serving-style retrieval with a device-resident gallery index.
+
+Build a RetrievalIndex from encoded images once, then answer queries with
+a single jitted encode -> matmul -> top_k round trip.
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import time
+
+import numpy as np
+
+from pyvisim_tpu.encoders import VLADEncoder
+from pyvisim_tpu.features import RootSIFT
+from pyvisim_tpu.index import RetrievalIndex
+
+
+def blob_image(seed, h=240, w=300):
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w), np.float32)
+    for _ in range(25):
+        y, x = rng.integers(30, h - 30), rng.integers(30, w - 30)
+        s = rng.integers(3, 12)
+        yy, xx = np.mgrid[-25:26, -25:26]
+        img[y - 25 : y + 26, x - 25 : x + 26] += np.exp(
+            -(yy**2 + xx**2) / (2 * s**2)
+        ) * rng.uniform(60, 220)
+    return np.stack([np.clip(img, 0, 255).astype(np.uint8)] * 3, axis=-1)
+
+
+def main():
+    gallery_images = [blob_image(i) for i in range(12)]
+    encoder = VLADEncoder(feature_extractor=RootSIFT(max_keypoints=512))
+    encoder.learn(gallery_images, n_clusters=16)
+
+    vectors = encoder.encode(gallery_images)
+    index = RetrievalIndex(vectors, [f"img_{i}" for i in range(12)])
+
+    query = blob_image(3)  # same scene as gallery img_3
+    results = index.query(encoder, query, k=3)[0]
+    print("top-3:", [(p, round(s, 4)) for p, s in results])
+    assert results[0][0] == "img_3"
+
+    index.query(encoder, query, k=3)  # warm
+    t0 = time.perf_counter()
+    for _ in range(10):
+        index.query(encoder, query, k=3)
+    print(f"end-to-end query latency: {(time.perf_counter() - t0) / 10 * 1e3:.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,7 @@ __all__ = [
     "io",
     "profiling",
     "checkpoint",
+    "index",
 ]
 
 

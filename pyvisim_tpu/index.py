@@ -1,0 +1,148 @@
+"""RetrievalIndex: a device-resident gallery index for serving.
+
+The reference's retrieval path is an ad-hoc dict of host numpy vectors
+re-scored per query in Python (reference pyvisim/eval.py:13-46,
+_base_encoder.py:344-359). For production serving this module keeps the
+encoded gallery L2-normalized and resident in device HBM (optionally
+sharded over a mesh), so a query is a single jitted
+encode → matmul → ``lax.top_k`` round trip.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._config import get_logger
+
+logger = get_logger("index")
+
+__all__ = ["RetrievalIndex"]
+
+
+class RetrievalIndex:
+    """Normalized gallery matrix + paths/labels with a jitted top-k query.
+
+    :param vectors: (N, D) gallery encodings (host or device array).
+    :param paths: N identifiers (file paths or ids).
+    :param labels: optional N integer labels.
+    :param mesh: optional mesh; gallery rows are then sharded over 'data'.
+    """
+
+    def __init__(
+        self,
+        vectors: np.ndarray,
+        paths: Sequence[str],
+        labels: Sequence[int] | None = None,
+        mesh=None,
+    ):
+        vectors = jnp.asarray(vectors, jnp.float32)
+        if vectors.ndim != 2 or len(paths) != vectors.shape[0]:
+            raise ValueError(
+                f"vectors must be (N, D) with N == len(paths); got "
+                f"{vectors.shape} and {len(paths)} paths"
+            )
+        norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
+        vectors = vectors / jnp.where(norms == 0, 1.0, norms)
+        if mesh is not None:
+            from .parallel import data_sharding, pad_to_multiple
+
+            vectors, self._n = pad_to_multiple(vectors, mesh.shape["data"])
+            vectors = jax.device_put(vectors, data_sharding(mesh, 2))
+        else:
+            self._n = vectors.shape[0]
+        self.vectors = vectors
+        self.paths = list(paths)
+        self.labels = None if labels is None else np.asarray(labels)
+        self.mesh = mesh
+
+        gallery = self.vectors
+        n = self._n
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("k",))
+        def _query(q, k):
+            qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
+            if sims.shape[1] > n:  # mask sharding pad
+                sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
+            return jax.lax.top_k(sims, k)
+
+        self._query = _query
+
+    @classmethod
+    def build(
+        cls,
+        encoder,
+        image_paths: Iterable[str],
+        labels: Sequence[int] | None = None,
+        batch_size: int = 64,
+        mesh=None,
+    ) -> "RetrievalIndex":
+        """Encode a gallery from image files (decoded through the host IO
+        layer) into an index."""
+        from .io import imread_rgb
+
+        paths = list(image_paths)
+        chunks = []
+        for start in range(0, len(paths), batch_size):
+            imgs = [imread_rgb(p) for p in paths[start : start + batch_size]]
+            chunks.append(np.asarray(encoder.encode(imgs)))
+        vectors = np.vstack(chunks)
+        logger.info("indexed %d images (%d-D)", len(paths), vectors.shape[1])
+        return cls(vectors, paths, labels, mesh=mesh)
+
+    @classmethod
+    def from_encoding_map(
+        cls, encoding_map: dict[str, np.ndarray], labels=None, mesh=None
+    ) -> "RetrievalIndex":
+        """Adapter from the reference-style ``{path: vector}`` dict."""
+        paths = list(encoding_map.keys())
+        vectors = np.stack([np.asarray(encoding_map[p]).ravel() for p in paths])
+        return cls(vectors, paths, labels, mesh=mesh)
+
+    def __len__(self) -> int:
+        return self._n
+
+    def query_vectors(self, query_vecs: np.ndarray, k: int = 5):
+        """(Q, D) query encodings -> (scores (Q, k), indices (Q, k))."""
+        q = jnp.atleast_2d(jnp.asarray(query_vecs, jnp.float32))
+        k = min(k, self._n)
+        scores, idx = self._query(q, k)
+        return np.asarray(scores), np.asarray(idx)
+
+    def query(self, encoder, images, k: int = 5):
+        """Encode query images and search -> list (per query) of
+        ``[(path, score), ...]`` descending — the serving analog of the
+        reference's ``retrieve_top_k_similar`` (eval.py:13-46)."""
+        vecs = np.asarray(encoder.encode(images))
+        if vecs.ndim == 1:
+            vecs = vecs[None]
+        scores, idx = self.query_vectors(vecs, k)
+        return [
+            [(self.paths[j], float(s)) for j, s in zip(row_i, row_s)]
+            for row_i, row_s in zip(idx, scores)
+        ]
+
+    # -- persistence --------------------------------------------------------
+    def save(self, path: str) -> None:
+        """Persist vectors/paths/labels to .npz."""
+        np.savez(
+            path,
+            vectors=np.asarray(self.vectors)[: self._n],
+            paths=np.array(self.paths),
+            labels=(
+                np.array([], np.int64) if self.labels is None else self.labels
+            ),
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh=None) -> "RetrievalIndex":
+        with np.load(path, allow_pickle=False) as data:
+            labels = data["labels"] if data["labels"].size else None
+            return cls(
+                data["vectors"], [str(p) for p in data["paths"]], labels, mesh=mesh
+            )

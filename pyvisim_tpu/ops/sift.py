@@ -625,14 +625,25 @@ def sift_descriptors(
 ):
     """Full result dict for a batch of grayscale images (uint8/float 0..255
     HxW, any sizes — letterboxed host-side): desc (B, N, 128), mask (B, N),
-    x, y, size, theta in processing coordinates."""
+    x, y, size, theta in processing coordinates.
+
+    The batch is padded up to a power-of-two bucket so ragged batch sizes
+    reuse a handful of compiled programs instead of recompiling per size
+    (first TPU compile of this graph is tens of seconds).
+    """
     cfg = cfg or SiftConfig()
     if isinstance(grays, np.ndarray) and grays.ndim == 2:
         grays = [grays]
     base = np.stack([_letterbox(np.asarray(g), cfg.process_size) for g in grays])
+    b = base.shape[0]
+    bucket = 1 << max(0, (b - 1).bit_length())
+    if bucket != b:
+        base = np.concatenate(
+            [base, np.zeros((bucket - b,) + base.shape[1:], base.dtype)]
+        )
     out = _sift_core(jnp.asarray(base), cfg)
+    out = {k: v[:b] for k, v in out.items()}
     if root_sift:
-        out = dict(out)
         out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
     return out
 

@@ -1,0 +1,82 @@
+"""RetrievalIndex serving-path tests."""
+import numpy as np
+import pytest
+
+from pyvisim_tpu.index import RetrievalIndex
+
+
+class StubEncoder:
+    def __init__(self, table):
+        self.table = table
+
+    def encode(self, images):
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        return np.stack([self.table[int(np.asarray(i).ravel()[0])] for i in images])
+
+
+@pytest.fixture
+def index_setup(rng):
+    vecs = rng.normal(size=(30, 16)).astype(np.float32)
+    paths = [f"/g/{i}.jpg" for i in range(30)]
+    labels = [i % 3 for i in range(30)]
+    return vecs, paths, labels
+
+
+def test_query_vectors_match_bruteforce(index_setup, rng):
+    vecs, paths, labels = index_setup
+    idx = RetrievalIndex(vecs, paths, labels)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    scores, ids = idx.query_vectors(q, k=5)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    want = np.argsort(-sims, axis=1)[:, :5]
+    np.testing.assert_array_equal(ids, want)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(sims, want, axis=1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_query_with_encoder(index_setup):
+    vecs, paths, _ = index_setup
+    idx = RetrievalIndex(vecs, paths)
+    enc = StubEncoder({7: vecs[7]})
+    res = idx.query(enc, np.full((2, 2, 3), 7, np.uint8), k=3)
+    assert len(res) == 1 and len(res[0]) == 3
+    assert res[0][0][0] == paths[7]  # exact match ranks first
+    assert res[0][0][1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_from_encoding_map_and_save_load(index_setup, tmp_path):
+    vecs, paths, labels = index_setup
+    emap = dict(zip(paths, vecs))
+    idx = RetrievalIndex.from_encoding_map(emap, labels=labels)
+    p = str(tmp_path / "index.npz")
+    idx.save(p)
+    idx2 = RetrievalIndex.load(p)
+    assert idx2.paths == idx.paths
+    assert len(idx2) == 30
+    q = vecs[:2]
+    np.testing.assert_array_equal(
+        idx.query_vectors(q, 4)[1], idx2.query_vectors(q, 4)[1]
+    )
+
+
+def test_sharded_index_matches_unsharded(index_setup, rng):
+    from pyvisim_tpu.parallel import make_mesh
+
+    vecs, paths, _ = index_setup
+    mesh = make_mesh(8, axis_names=("data",))
+    plain = RetrievalIndex(vecs, paths)
+    sharded = RetrievalIndex(vecs, paths, mesh=mesh)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        plain.query_vectors(q, 5)[1], sharded.query_vectors(q, 5)[1]
+    )
+
+
+def test_shape_validation(index_setup):
+    vecs, paths, _ = index_setup
+    with pytest.raises(ValueError, match="N == len"):
+        RetrievalIndex(vecs, paths[:-1])
