@@ -60,6 +60,7 @@ def lloyd_step(
     mask: jnp.ndarray,
     centers: jnp.ndarray,
     chunk_size: int | None = None,
+    use_pallas: bool = False,
 ):
     """One Lloyd iteration -> (new_centers, inertia).
 
@@ -70,8 +71,20 @@ def lloyd_step(
     With ``chunk_size`` the (N, K) distance matrix is consumed blockwise
     under ``lax.scan`` so arbitrarily many descriptors stream through
     without materializing N x K in HBM (the Oxford-scale path: ~12M
-    descriptors x K=256).
+    descriptors x K=256). ``use_pallas`` routes the sufficient statistics
+    through the fused Pallas kernel (ops/pallas/aggregate.py), which keeps
+    each distance block VMEM-resident — the production TPU backend.
     """
+    if use_pallas:
+        from .pallas import lloyd_stats_pallas
+
+        sums, counts, inertia = lloyd_stats_pallas(
+            x, mask, centers, block_n=min(chunk_size or 2048, 2048)
+        )
+        new_centers = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+        )
+        return new_centers, inertia
 
     def block_stats(xb, mb):
         d2 = pairwise_sqdist(xb, centers)
@@ -111,8 +124,15 @@ def lloyd_step(
     return new_centers, inertia
 
 
-@partial(jax.jit, static_argnames=("n_clusters", "max_iters", "chunk_size", "init_subsample"))
-def _kmeans_fit_impl(key, x, mask, n_clusters, max_iters, tol, chunk_size, init_subsample):
+@partial(
+    jax.jit,
+    static_argnames=(
+        "n_clusters", "max_iters", "chunk_size", "init_subsample", "use_pallas"
+    ),
+)
+def _kmeans_fit_impl(
+    key, x, mask, n_clusters, max_iters, tol, chunk_size, init_subsample, use_pallas
+):
     if init_subsample and x.shape[0] > init_subsample:
         # k-means++ is O(N*K); seed from a masked subsample for huge N.
         sub_key, key = jax.random.split(key)
@@ -135,7 +155,7 @@ def _kmeans_fit_impl(key, x, mask, n_clusters, max_iters, tol, chunk_size, init_
 
     def body(state):
         centers, _, it, _ = state
-        new_centers, inertia = lloyd_step(x, mask, centers, chunk_size)
+        new_centers, inertia = lloyd_step(x, mask, centers, chunk_size, use_pallas)
         shift = jnp.sum((new_centers - centers) ** 2)
         return new_centers, shift, it + 1, inertia
 
@@ -156,6 +176,7 @@ def kmeans_fit(
     n_init: int = 1,
     chunk_size: int | None = None,
     init_subsample: int = 65536,
+    use_pallas: bool | None = None,
 ):
     """Fit K-Means on descriptors ``x (N, D)``; returns
     ``(KMeansCodebook, inertia)`` of the best of ``n_init`` seedings.
@@ -171,13 +192,16 @@ def kmeans_fit(
     mask = jnp.asarray(mask, jnp.float32)
     if chunk_size is None and x.shape[0] * n_clusters > 64_000_000:
         chunk_size = 65536
+    if use_pallas is None:
+        # fused Pallas Lloyd backend on real TPU for large descriptor sets
+        use_pallas = jax.default_backend() != "cpu" and x.shape[0] >= 16384
 
     best = None
     for i in range(n_init):
         key = jax.random.PRNGKey(seed + i)
         centers, inertia, _ = _kmeans_fit_impl(
             key, x, mask, n_clusters, max_iters, jnp.float32(tol),
-            chunk_size, init_subsample,
+            chunk_size, init_subsample, use_pallas,
         )
         inertia = float(inertia)
         if best is None or inertia < best[1]:

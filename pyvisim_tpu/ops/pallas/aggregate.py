@@ -21,9 +21,86 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["vlad_aggregate_pallas", "fisher_stats_pallas"]
+__all__ = ["vlad_aggregate_pallas", "fisher_stats_pallas", "lloyd_stats_pallas"]
 
 _LOG_2PI = 1.8378770664093453
+
+
+def _lloyd_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref, inertia_ref):
+    """One grid step of fused Lloyd sufficient statistics: nearest-centroid
+    assignment, (K, D) sums, (K,) counts and the masked inertia — the
+    M-step inputs of ops.kmeans.lloyd_step with the (N, K) distance block
+    kept VMEM-resident."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _():
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+        counts_ref[:] = jnp.zeros_like(counts_ref)
+        inertia_ref[:] = jnp.zeros_like(inertia_ref)
+
+    desc = desc_ref[:]  # (BN, D)
+    mask = mask_ref[:].reshape(-1)  # (BN,)
+    centers = centers_ref[:]  # (K, D)
+
+    cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32)
+    c2 = jnp.sum(centers * centers, axis=1)
+    neg_half_d2 = cross - 0.5 * c2[None, :]
+    labels = jnp.argmax(neg_half_d2, axis=1)
+    x2 = jnp.sum(desc * desc, axis=1)
+    min_d2 = jnp.maximum(x2 - 2.0 * jnp.max(neg_half_d2, axis=1), 0.0)
+
+    one_hot = (
+        labels[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
+    ).astype(jnp.float32) * mask[:, None]
+
+    sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32)
+    counts_ref[:] += jnp.sum(one_hot, axis=0)[None, :]
+    inertia_ref[0, 0] += jnp.sum(min_d2 * mask)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def lloyd_stats_pallas(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    block_n: int = 2048,
+):
+    """Fused Lloyd statistics -> (sums (K, D), counts (K,), inertia ()).
+
+    Production backend of on-TPU K-Means training (ops/kmeans.py) for
+    dataset-scale descriptor sets.
+    """
+    n, d = desc.shape
+    k = centers.shape[0]
+    pad = (-n) % block_n
+    if pad:
+        desc = jnp.pad(desc, ((0, pad), (0, 0)))
+        mask = jnp.pad(mask, (0, pad))
+    grid = desc.shape[0] // block_n
+
+    sums, counts, inertia = pl.pallas_call(
+        _lloyd_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[None, :], centers)
+    return sums, counts[0], inertia[0, 0]
 
 
 def _vlad_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref):

@@ -50,3 +50,36 @@ def test_fisher_pallas_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(g0), np.asarray(w0), rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(w1), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g2), np.asarray(w2), rtol=1e-4, atol=1e-5)
+
+
+def test_lloyd_pallas_matches_xla(rng):
+    from pyvisim_tpu.ops.kmeans import lloyd_step
+    from pyvisim_tpu.ops.pallas import lloyd_stats_pallas
+
+    x = rng.normal(size=(600, 24)).astype(np.float32)
+    mask = (rng.random(600) > 0.1).astype(np.float32)
+    centers = rng.normal(size=(8, 24)).astype(np.float32)
+    sums, counts, inertia = lloyd_stats_pallas(x, mask, centers, block_n=256)
+    want_centers, want_inertia = lloyd_step(x, mask, centers)
+    got_centers = np.where(
+        np.asarray(counts)[:, None] > 0,
+        np.asarray(sums) / np.maximum(np.asarray(counts)[:, None], 1.0),
+        centers,
+    )
+    np.testing.assert_allclose(got_centers, np.asarray(want_centers), rtol=1e-4, atol=1e-4)
+    assert float(inertia) == pytest.approx(float(want_inertia), rel=1e-4)
+
+
+def test_kmeans_fit_pallas_backend(rng):
+    from pyvisim_tpu.ops.kmeans import kmeans_fit
+
+    centers = rng.normal(scale=8.0, size=(4, 8)).astype(np.float32)
+    labels = rng.integers(0, 4, size=400)
+    x = (centers[labels] + rng.normal(scale=0.2, size=(400, 8))).astype(np.float32)
+    cb_p, in_p = kmeans_fit(x, 4, seed=1, use_pallas=True, chunk_size=128)
+    cb_x, in_x = kmeans_fit(x, 4, seed=1, use_pallas=False)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(cb_p.centers), 0), np.sort(np.asarray(cb_x.centers), 0),
+        atol=1e-3,
+    )
+    assert in_p == pytest.approx(in_x, rel=1e-3)
