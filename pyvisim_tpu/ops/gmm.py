@@ -35,11 +35,14 @@ def em_step(
     gmm: GmmCodebook,
     reg_covar: float,
     chunk_size: int | None = None,
+    use_pallas: bool = False,
 ):
     """One EM iteration -> (new GmmCodebook, mean log-likelihood).
 
     With ``chunk_size`` the (N, K) responsibility matrix streams blockwise
-    under ``lax.scan`` (the Oxford-scale path — millions of descriptors)."""
+    under ``lax.scan`` (the Oxford-scale path — millions of descriptors);
+    ``use_pallas`` fuses the E-step into the VMEM-resident Pallas kernel
+    (ops/pallas/aggregate.py), the production TPU backend."""
 
     def block_stats(xb, mb):
         resp, _ = _e_step(xb, mb, gmm)
@@ -52,7 +55,14 @@ def em_step(
         return s0, s1, s2, ll
 
     n = x.shape[0]
-    if chunk_size is None or chunk_size >= n:
+    if use_pallas:
+        from .pallas import gmm_em_stats_pallas
+
+        s0, s1, s2, ll = gmm_em_stats_pallas(
+            x, mask, gmm.weights, gmm.means, gmm.covariances,
+            block_n=min(chunk_size or 2048, 2048),
+        )
+    elif chunk_size is None or chunk_size >= n:
         s0, s1, s2, ll = block_stats(x, mask)
     else:
         pad = (-n) % chunk_size
@@ -89,15 +99,15 @@ def em_step(
     return GmmCodebook(weights=weights, means=means, covariances=covs), mean_ll
 
 
-@partial(jax.jit, static_argnames=("max_iters", "chunk_size"))
-def _gmm_em_impl(x, mask, init_gmm, max_iters, tol, reg_covar, chunk_size):
+@partial(jax.jit, static_argnames=("max_iters", "chunk_size", "use_pallas"))
+def _gmm_em_impl(x, mask, init_gmm, max_iters, tol, reg_covar, chunk_size, use_pallas):
     def cond(state):
         _, prev_ll, ll, it = state
         return jnp.logical_and(it < max_iters, jnp.abs(ll - prev_ll) > tol)
 
     def body(state):
         gmm, _, ll, it = state
-        new_gmm, new_ll = em_step(x, mask, gmm, reg_covar, chunk_size)
+        new_gmm, new_ll = em_step(x, mask, gmm, reg_covar, chunk_size, use_pallas)
         return new_gmm, ll, new_ll, it + 1
 
     init_state = (init_gmm, jnp.float32(-jnp.inf), jnp.float32(jnp.inf), 0)
@@ -116,6 +126,7 @@ def gmm_fit(
     seed: int = 0,
     kmeans_iters: int = 25,
     chunk_size: int | None = None,
+    use_pallas: bool | None = None,
 ):
     """Fit a diag-covariance GMM on ``x (N, D)``.
 
@@ -132,15 +143,17 @@ def gmm_fit(
     mask = jnp.asarray(mask, jnp.float32)
     if chunk_size is None and x.shape[0] * n_components > 64_000_000:
         chunk_size = 65536
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu" and x.shape[0] >= 16384
 
     km, _ = kmeans_fit(
         x, n_components, mask=mask, max_iters=kmeans_iters, seed=seed,
-        chunk_size=chunk_size,
+        chunk_size=chunk_size, use_pallas=use_pallas,
     )
     init = _init_from_kmeans(x, mask, km, reg_covar)
     gmm, ll, _ = _gmm_em_impl(
         x, mask, init, max_iters, jnp.float32(tol), jnp.float32(reg_covar),
-        chunk_size,
+        chunk_size, use_pallas,
     )
     return gmm, float(ll)
 

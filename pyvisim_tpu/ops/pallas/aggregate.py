@@ -179,9 +179,10 @@ def vlad_aggregate_pallas(
 
 def _fisher_kernel(
     desc_ref, mask_ref, minv_ref, half_inv_ref, const_ref,
-    s0_ref, s1_ref, s2_ref,
+    s0_ref, s1_ref, s2_ref, ll_ref,
 ):
-    """One grid step of fused diag-GMM posterior + sufficient statistics.
+    """One grid step of fused diag-GMM posterior + sufficient statistics
+    (+ masked log-likelihood — the EM E-step byproduct).
 
     minv = means / cov (K, D); half_inv = 0.5 / cov (K, D);
     const = log w - 0.5 (D log 2pi + sum log cov + sum m^2/cov), shape (1, K).
@@ -193,6 +194,7 @@ def _fisher_kernel(
         s0_ref[:] = jnp.zeros_like(s0_ref)
         s1_ref[:] = jnp.zeros_like(s1_ref)
         s2_ref[:] = jnp.zeros_like(s2_ref)
+        ll_ref[:] = jnp.zeros_like(ll_ref)
 
     desc = desc_ref[:]  # (BN, D)
     mask = mask_ref[:].reshape(-1, 1)  # (BN, 1)
@@ -203,11 +205,16 @@ def _fisher_kernel(
         - jnp.dot(d2, half_inv_ref[:].T, preferred_element_type=jnp.float32)
         + const_ref[:]
     )  # (BN, K)
-    q = jax.nn.softmax(logp, axis=-1) * mask  # (BN, K)
+    m = jnp.max(logp, axis=-1, keepdims=True)
+    e = jnp.exp(logp - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    q = (e / denom) * mask  # (BN, K) softmax posteriors, masked
+    log_norm = (m + jnp.log(denom))[:, 0]  # logsumexp per row
 
     s0_ref[:] += jnp.sum(q, axis=0)[None, :]
     s1_ref[:] += jnp.dot(q.T, desc, preferred_element_type=jnp.float32)
     s2_ref[:] += jnp.dot(q.T, d2, preferred_element_type=jnp.float32)
+    ll_ref[0, 0] += jnp.sum(log_norm * mask[:, 0])
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -223,6 +230,26 @@ def fisher_stats_pallas(
     """Fused (pp_sum, pp_x, pp_x_2) normalized by the valid count —
     semantics of ops.fisher.fisher_stats (reference
     pyvisim/encoders/fisher_vector.py:99-104)."""
+    s0, s1, s2, _ = gmm_em_stats_pallas(
+        desc, mask, weights, means, covariances, block_n=block_n
+    )
+    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
+    return s0 / n_valid, s1 / n_valid, s2 / n_valid
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def gmm_em_stats_pallas(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray,
+    weights: jnp.ndarray,
+    means: jnp.ndarray,
+    covariances: jnp.ndarray,
+    *,
+    block_n: int = 1024,
+):
+    """Fused *unnormalized* EM sufficient statistics
+    ``(s0 (K,), s1 (K, D), s2 (K, D), log_likelihood ())`` — the E-step of
+    ops.gmm.em_step with the (N, K) responsibility block VMEM-resident."""
     n, d = desc.shape
     k = means.shape[0]
     pad = (-n) % block_n
@@ -240,7 +267,7 @@ def fisher_stats_pallas(
            + jnp.sum(means * minv, axis=1))
     )[None, :]
 
-    s0, s1, s2 = pl.pallas_call(
+    s0, s1, s2, ll = pl.pallas_call(
         _fisher_kernel,
         grid=(grid,),
         in_specs=[
@@ -254,11 +281,13 @@ def fisher_stats_pallas(
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, k), jnp.float32),
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((k, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
     )(
         desc.astype(jnp.float32),
@@ -267,5 +296,4 @@ def fisher_stats_pallas(
         0.5 * inv_cov,
         const,
     )
-    n_valid = jnp.maximum(jnp.sum(mask), 1.0)
-    return s0[0] / n_valid, s1 / n_valid, s2 / n_valid
+    return s0[0], s1, s2, ll[0, 0]

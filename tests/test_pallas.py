@@ -83,3 +83,19 @@ def test_kmeans_fit_pallas_backend(rng):
         atol=1e-3,
     )
     assert in_p == pytest.approx(in_x, rel=1e-3)
+
+
+def test_gmm_fit_pallas_backend(rng):
+    from pyvisim_tpu.ops.gmm import gmm_fit
+
+    centers = rng.normal(scale=8.0, size=(3, 6)).astype(np.float32)
+    labels = rng.integers(0, 3, size=300)
+    x = (centers[labels] + rng.normal(scale=0.2, size=(300, 6))).astype(np.float32)
+    g_p, ll_p = gmm_fit(x, 3, seed=0, use_pallas=True, chunk_size=128)
+    g_x, ll_x = gmm_fit(x, 3, seed=0, use_pallas=False)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(g_p.means), 0), np.sort(np.asarray(g_x.means), 0),
+        rtol=1e-3, atol=1e-3,
+    )
+    # EM may stop one iteration apart across backends; gate on closeness
+    assert ll_p == pytest.approx(ll_x, abs=0.01)
