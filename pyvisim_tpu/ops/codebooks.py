@@ -65,6 +65,29 @@ class PcaProjector:
             whiten=bool(getattr(pca, "whiten", False)),
         )
 
+    def to_sklearn(self):
+        """Build an equivalent fitted sklearn ``PCA`` (migration escape
+        hatch back to the reference's stack)."""
+        import numpy as _np
+        from sklearn.decomposition import PCA
+
+        pca = PCA(n_components=self.n_components, whiten=self.whiten)
+        pca.mean_ = _np.asarray(self.mean, _np.float64)
+        pca.components_ = _np.asarray(self.components, _np.float64)
+        ev = (
+            _np.ones(self.n_components)
+            if self.explained_variance is None
+            else _np.asarray(self.explained_variance, _np.float64)
+        )
+        pca.explained_variance_ = ev
+        pca.explained_variance_ratio_ = ev / max(ev.sum(), 1e-12)
+        pca.singular_values_ = _np.sqrt(_np.maximum(ev, 0.0))
+        pca.n_components_ = self.n_components
+        pca.n_features_in_ = self.n_features_in
+        pca.n_samples_ = self.n_components + 1
+        pca.noise_variance_ = 0.0
+        return pca
+
 
 @struct.dataclass
 class KMeansCodebook:
@@ -89,6 +112,23 @@ class KMeansCodebook:
     @classmethod
     def from_sklearn(cls, kmeans: Any) -> "KMeansCodebook":
         return cls(centers=jnp.asarray(kmeans.cluster_centers_, jnp.float32))
+
+    def to_sklearn(self):
+        """Build an equivalent fitted sklearn ``KMeans``."""
+        import numpy as _np
+        from sklearn.cluster import KMeans
+
+        km = KMeans(n_clusters=self.n_clusters, n_init=1)
+        # sklearn's cython predict requires centers dtype == query dtype;
+        # keep float32 (matching the reference's float32 descriptor casts).
+        km.cluster_centers_ = _np.asarray(self.centers, _np.float32)
+        km._n_features_out = self.n_clusters
+        km.n_features_in_ = self.n_features_in
+        km._n_threads = 1
+        km.labels_ = _np.zeros(self.n_clusters, _np.int32)
+        km.inertia_ = 0.0
+        km.n_iter_ = 0
+        return km
 
 
 @struct.dataclass
@@ -126,6 +166,25 @@ class GmmCodebook:
             means=jnp.asarray(gmm.means_, jnp.float32),
             covariances=jnp.asarray(gmm.covariances_, jnp.float32),
         )
+
+    def to_sklearn(self):
+        """Build an equivalent fitted sklearn diag ``GaussianMixture``."""
+        import numpy as _np
+        from sklearn.mixture import GaussianMixture
+
+        gmm = GaussianMixture(
+            n_components=self.n_components, covariance_type="diag"
+        )
+        gmm.weights_ = _np.asarray(self.weights, _np.float64)
+        gmm.means_ = _np.asarray(self.means, _np.float64)
+        gmm.covariances_ = _np.asarray(self.covariances, _np.float64)
+        gmm.precisions_cholesky_ = 1.0 / _np.sqrt(gmm.covariances_)
+        gmm.precisions_ = 1.0 / gmm.covariances_
+        gmm.converged_ = True
+        gmm.n_iter_ = 0
+        gmm.lower_bound_ = 0.0
+        gmm.n_features_in_ = self.n_features_in
+        return gmm
 
 
 _KIND_TO_CLS = {
