@@ -112,3 +112,44 @@ def test_integrity_failure_triggers_download(fake_oxford, monkeypatch):
     with pytest.raises(RuntimeError, match="no network"):
         ds.OxfordFlowerDataset(purpose="train")
     assert called.get("yes")
+
+
+def test_download_retries_on_failure(tmp_path, monkeypatch):
+    """The reference never checks HTTP status (datasets.py:56); our
+    downloader retries transient failures and raises after exhaustion."""
+    calls = {"n": 0}
+
+    class FakeResponse:
+        def __init__(self, ok):
+            self.ok = ok
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def raise_for_status(self):
+            if not self.ok:
+                raise RuntimeError("HTTP 503")
+
+        def iter_content(self, chunk_size):
+            yield b"payload"
+
+    def fake_get(url, stream=True, timeout=60):
+        calls["n"] += 1
+        return FakeResponse(ok=calls["n"] >= 3)
+
+    import types
+
+    monkeypatch.setitem(
+        __import__("sys").modules, "requests", types.SimpleNamespace(get=fake_get)
+    )
+    dest = str(tmp_path / "file.bin")
+    ds._download_file("http://example/file.bin", dest, retries=3)
+    assert calls["n"] == 3
+    assert open(dest, "rb").read() == b"payload"
+
+    calls["n"] = -10  # will keep failing for all retries
+    with pytest.raises(RuntimeError, match="HTTP 503"):
+        ds._download_file("http://example/file.bin", dest, retries=2)
