@@ -54,8 +54,11 @@ def latency_main() -> None:
     )(gallery)
     gallery.block_until_ready()
 
+    # NOTE: the gallery is a jit *argument*, never a closure — a closed-over
+    # concrete array becomes an HLO constant, and a multi-GB constant makes
+    # the (remote) compile pathological.
     @jax.jit
-    def query(image):
+    def query(image, gallery):
         desc = ext._forward(image[None]).astype(jnp.float32)
         vec = jax.vmap(lambda d: vlad_encode(d, None, centers))(desc)
         vec = vec / jnp.maximum(jnp.linalg.norm(vec, axis=1, keepdims=True), 1e-12)
@@ -63,11 +66,11 @@ def latency_main() -> None:
         return jax.lax.top_k(sims[0], 5)
 
     img = jnp.asarray((rng.random((224, 224, 3)) * 255).astype(np.uint8))
-    jax.block_until_ready(query(img))  # compile
+    jax.block_until_ready(query(img, gallery))  # compile
     times = []
     for _ in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(query(img))
+        jax.block_until_ready(query(img, gallery))
         times.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(times, 50) * 1e3)
     print(

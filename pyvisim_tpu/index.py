@@ -58,20 +58,22 @@ class RetrievalIndex:
         self.labels = None if labels is None else np.asarray(labels)
         self.mesh = mesh
 
-        gallery = self.vectors
         n = self._n
 
         from functools import partial
 
+        # The gallery is passed as a jit argument, not closed over — a
+        # closed-over concrete array would be baked into the HLO as a
+        # (potentially multi-GB) constant.
         @partial(jax.jit, static_argnames=("k",))
-        def _query(q, k):
+        def _query_impl(q, gallery, k):
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
             if sims.shape[1] > n:  # mask sharding pad
                 sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
             return jax.lax.top_k(sims, k)
 
-        self._query = _query
+        self._query = lambda q, k: _query_impl(q, self.vectors, k)
 
     @classmethod
     def build(

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["vlad_aggregate_pallas", "fisher_stats_pallas", "lloyd_stats_pallas"]
+__all__ = [
+    "vlad_aggregate_pallas",
+    "fisher_stats_pallas",
+    "gmm_em_stats_pallas",
+    "lloyd_stats_pallas",
+]
 
 _LOG_2PI = 1.8378770664093453
 
@@ -40,24 +45,24 @@ def _lloyd_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref, inertia
         inertia_ref[:] = jnp.zeros_like(inertia_ref)
 
     desc = desc_ref[:]  # (BN, D)
-    mask = mask_ref[:].reshape(-1)  # (BN,)
+    mask = mask_ref[:]  # (BN, 1) — kept 2-D throughout (Mosaic constraint)
     centers = centers_ref[:]  # (K, D)
 
     cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32)
-    c2 = jnp.sum(centers * centers, axis=1)
-    neg_half_d2 = cross - 0.5 * c2[None, :]
-    labels = jnp.argmax(neg_half_d2, axis=1)
-    x2 = jnp.sum(desc * desc, axis=1)
-    min_d2 = jnp.maximum(x2 - 2.0 * jnp.max(neg_half_d2, axis=1), 0.0)
+    c2 = jnp.sum(centers * centers, axis=1, keepdims=True)  # (K, 1)
+    neg_half_d2 = cross - 0.5 * c2.T  # (BN, K); argmax == nearest centroid
+    labels = jnp.argmax(neg_half_d2, axis=1, keepdims=True)  # (BN, 1)
+    x2 = jnp.sum(desc * desc, axis=1, keepdims=True)  # (BN, 1)
+    best = jnp.max(neg_half_d2, axis=1, keepdims=True)  # (BN, 1)
+    min_d2 = jnp.maximum(x2 - 2.0 * best, 0.0)  # (BN, 1)
 
     one_hot = (
-        labels[:, None]
-        == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
-    ).astype(jnp.float32) * mask[:, None]
+        labels == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
+    ).astype(jnp.float32) * mask
 
     sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32)
-    counts_ref[:] += jnp.sum(one_hot, axis=0)[None, :]
-    inertia_ref[0, 0] += jnp.sum(min_d2 * mask)
+    counts_ref[:] += jnp.sum(one_hot, axis=0, keepdims=True)
+    inertia_ref[:] += jnp.sum(min_d2 * mask).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -86,7 +91,7 @@ def lloyd_stats_pallas(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -99,7 +104,7 @@ def lloyd_stats_pallas(
             jax.ShapeDtypeStruct((1, k), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[None, :], centers)
+    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[:, None], centers)
     return sums, counts[0], inertia[0, 0]
 
 
@@ -117,22 +122,22 @@ def _vlad_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref):
         counts_ref[:] = jnp.zeros_like(counts_ref)
 
     desc = desc_ref[:]  # (BN, D)
-    mask = mask_ref[:]  # (1, BN)
+    mask = mask_ref[:]  # (BN, 1)
     centers = centers_ref[:]  # (K, D)
 
     # squared distances via the MXU cross term; ||x||^2 is constant per row
     # and does not affect the argmin over K.
     cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32)
-    c2 = jnp.sum(centers * centers, axis=1)  # (K,)
-    neg_half_d2 = cross - 0.5 * c2[None, :]  # argmax == nearest centroid
-    labels = jnp.argmax(neg_half_d2, axis=1)  # (BN,)
+    c2 = jnp.sum(centers * centers, axis=1, keepdims=True)  # (K, 1)
+    neg_half_d2 = cross - 0.5 * c2.T  # argmax == nearest centroid
+    labels = jnp.argmax(neg_half_d2, axis=1, keepdims=True)  # (BN, 1)
 
     one_hot = (
-        labels[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
-    ).astype(jnp.float32) * mask.reshape(-1, 1)
+        labels == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
+    ).astype(jnp.float32) * mask
 
     sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32)
-    counts_ref[:] += jnp.sum(one_hot, axis=0)[None, :]
+    counts_ref[:] += jnp.sum(one_hot, axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -162,7 +167,7 @@ def vlad_aggregate_pallas(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -173,7 +178,7 @@ def vlad_aggregate_pallas(
             jax.ShapeDtypeStruct((k, d), jnp.float32),
             jax.ShapeDtypeStruct((1, k), jnp.float32),
         ],
-    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[None, :], centers)
+    )(desc.astype(jnp.float32), mask.astype(jnp.float32)[:, None], centers)
     return sums - counts[0][:, None] * centers
 
 
@@ -197,7 +202,7 @@ def _fisher_kernel(
         ll_ref[:] = jnp.zeros_like(ll_ref)
 
     desc = desc_ref[:]  # (BN, D)
-    mask = mask_ref[:].reshape(-1, 1)  # (BN, 1)
+    mask = mask_ref[:]  # (BN, 1)
     d2 = desc * desc
 
     logp = (
@@ -209,12 +214,12 @@ def _fisher_kernel(
     e = jnp.exp(logp - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
     q = (e / denom) * mask  # (BN, K) softmax posteriors, masked
-    log_norm = (m + jnp.log(denom))[:, 0]  # logsumexp per row
+    log_norm = m + jnp.log(denom)  # (BN, 1) logsumexp per row
 
-    s0_ref[:] += jnp.sum(q, axis=0)[None, :]
+    s0_ref[:] += jnp.sum(q, axis=0, keepdims=True)
     s1_ref[:] += jnp.dot(q.T, desc, preferred_element_type=jnp.float32)
     s2_ref[:] += jnp.dot(q.T, d2, preferred_element_type=jnp.float32)
-    ll_ref[0, 0] += jnp.sum(log_norm * mask[:, 0])
+    ll_ref[:] += jnp.sum(log_norm * mask).reshape(1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
@@ -272,7 +277,7 @@ def gmm_em_stats_pallas(
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -291,7 +296,7 @@ def gmm_em_stats_pallas(
         ],
     )(
         desc.astype(jnp.float32),
-        mask.astype(jnp.float32)[None, :],
+        mask.astype(jnp.float32)[:, None],
         minv,
         0.5 * inv_cov,
         const,
