@@ -28,7 +28,11 @@ Static-shape design (everything jits):
 Deliberate deviations from OpenCV (gated on retrieval-metric parity, see
 SURVEY.md §7 hard-part 1): fixed processing resolution; at most one
 secondary-orientation duplicate per keypoint (OpenCV emits one per peak
->= 0.8 * max; more than two such peaks is rare).
+>= 0.8 * max; more than two such peaks is rare); float32 DoG throughout —
+OpenCV's 8-bit path quantizes the pyramid to 1/48 steps, which suppresses
+some weak low-contrast extrema that we (correctly) detect, so our keypoint
+sets are supersets of OpenCV's at matching descriptor quality. Raise
+``contrast_threshold`` to thin them if needed.
 """
 from __future__ import annotations
 

@@ -60,6 +60,10 @@ def sharded_cosine_similarity(
     from ..ops.similarity import cosine_similarity_matrix
 
     xq, n = pad_to_multiple(x, mesh.shape["data"])
+    # re-shard inputs if they arrive with a different placement (e.g. a
+    # data-sharded gallery from sharded_encode)
+    xq = jax.device_put(xq, data_sharding(mesh, 2))
+    y = jax.device_put(y, replicated(mesh))
     fn = jax.jit(
         cosine_similarity_matrix,
         in_shardings=(data_sharding(mesh, 2), replicated(mesh)),

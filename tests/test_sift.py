@@ -138,3 +138,46 @@ def test_opencv_backend_parity_of_rootsift_formula():
     r = RootSIFT(backend="opencv")(img)
     want = np.sqrt(s / (s.sum(axis=1, keepdims=True) + 1e-7))
     np.testing.assert_allclose(r, want, atol=1e-5)
+
+
+def test_real_photograph_parity():
+    """Descriptor parity on a real photograph (matplotlib's bundled
+    grace_hopper.jpg): matched keypoints must have near-identical
+    descriptors; our float32 pipeline legitimately finds a superset of
+    cv2's fixed-point keypoints."""
+    import matplotlib.cbook as cbook
+    from PIL import Image
+
+    with cbook.get_sample_data("grace_hopper.jpg") as f:
+        img = np.asarray(Image.open(f))
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    cfg = SiftConfig(process_size=256, max_keypoints=1024)
+    out = sift_descriptors([gray], cfg)
+    mask = np.asarray(out["mask"][0]) > 0
+    x = np.asarray(out["x"][0])[mask]
+    y = np.asarray(out["y"][0])[mask]
+    desc = np.asarray(out["desc"][0])[mask]
+
+    lb = _letterbox(gray, 256).astype(np.uint8)
+    kps, cvd = cv2.SIFT.create().detectAndCompute(lb, None)
+    pts = np.array([k.pt for k in kps])
+    # recall: most cv2 keypoints have one of ours within 2px
+    d_cv = np.sqrt(
+        (pts[:, 0][:, None] - x[None, :]) ** 2
+        + (pts[:, 1][:, None] - y[None, :]) ** 2
+    ).min(1)
+    assert (d_cv < 2.0).mean() > 0.6
+    cosines = []
+    for i in range(len(x)):
+        d = np.sqrt((pts[:, 0] - x[i]) ** 2 + (pts[:, 1] - y[i]) ** 2)
+        near = np.where(d < 2.0)[0]
+        if len(near) == 0:
+            continue
+        c = (cvd[near] @ desc[i]) / (
+            np.linalg.norm(cvd[near], axis=1) * np.linalg.norm(desc[i]) + 1e-9
+        )
+        cosines.append(c.max())
+    cosines = np.array(cosines)
+    assert len(cosines) > 100
+    assert np.median(cosines) > 0.95
+    assert (cosines > 0.8).mean() > 0.85
