@@ -66,11 +66,12 @@ def latency_main() -> None:
         return jax.lax.top_k(sims[0], 5)
 
     img = jnp.asarray((rng.random((224, 224, 3)) * 255).astype(np.uint8))
-    jax.block_until_ready(query(img, gallery))  # compile
+    np.asarray(query(img, gallery)[0])  # compile + sync
     times = []
     for _ in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(query(img, gallery))
+        scores, idx = query(img, gallery)
+        np.asarray(scores)  # the client reads the results: true E2E latency
         times.append(time.perf_counter() - t0)
     p50_ms = float(np.percentile(times, 50) * 1e3)
     print(
@@ -96,7 +97,7 @@ def main() -> None:
     from pyvisim_tpu.ops.vlad import vlad_encode
 
     batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "128"))
-    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "20"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "40"))
     dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -111,17 +112,21 @@ def main() -> None:
     def encode(images):
         desc = ext._forward(images).astype(jnp.float32)  # (B, 196, 514)
         mask = jnp.ones(desc.shape[:2], jnp.float32)
-        return jax.vmap(lambda d, m: vlad_encode(d, m, centers))(desc, mask)
+        out = jax.vmap(lambda d, m: vlad_encode(d, m, centers))(desc, mask)
+        # scalar checksum: fetching it host-side forces the in-order device
+        # queue to drain (on the remote-execution backend in this image
+        # block_until_ready returns before execution completes)
+        return out, jnp.sum(out)
 
     # Warmup / compile.
-    out = encode(images)
-    out.block_until_ready()
+    out, checksum = encode(images)
+    assert float(checksum) == float(checksum)  # fetch = sync
     assert out.shape == (batch, 256 * 514)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        out = encode(images)
-    out.block_until_ready()
+        out, checksum = encode(images)
+    float(checksum)  # fetch-synchronize
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * steps / dt
