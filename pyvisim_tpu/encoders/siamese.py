@@ -1,0 +1,119 @@
+"""SiameseEncoder: the trained embedding network as a similarity encoder.
+
+The reference's README promises Siamese networks as a third similarity
+encoder alongside VLAD and Fisher Vectors (reference: README.md:82-84,
+pyvisim/neural_networks/README.md:1-3 — never implemented). This class
+plugs the Flax Siamese embedder (models/siamese.py) into the same
+encoder surface: ``encode`` / ``similarity_score`` /
+``generate_encoding_map``, so retrieval evaluation (eval.py) and the
+serving index (index.py) work unchanged on learned embeddings.
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .._base_classes import SimilarityMetric
+from .._utils import cosine_similarity
+from ..models.siamese import SiameseEmbedder
+
+__all__ = ["SiameseEncoder"]
+
+
+class SiameseEncoder(SimilarityMetric):
+    """Encode images with a (trained) Siamese embedding network.
+
+    :param model: a SiameseEmbedder module.
+    :param params: its variables (e.g. ``TrainState.params`` after
+        training, or a checkpoint restored via pyvisim_tpu.checkpoint).
+    :param image_size: static input resolution (images are resized).
+    :param similarity_func: batch similarity over embeddings
+        (default cosine).
+    """
+
+    def __init__(
+        self,
+        model: SiameseEmbedder,
+        params,
+        image_size: int = 224,
+        similarity_func: Callable = cosine_similarity,
+    ):
+        self.model = model
+        self.params = params
+        self.image_size = image_size
+        self.similarity_func = similarity_func
+
+        def forward(images):  # (B, H, W, 3) uint8/float -> (B, E)
+            x = images.astype(jnp.float32) / 255.0
+            if x.shape[1] != image_size or x.shape[2] != image_size:
+                x = jax.image.resize(
+                    x, (x.shape[0], image_size, image_size, 3), "bilinear"
+                )
+            return model.apply(self.params, x)
+
+        self._jit_forward = jax.jit(forward)
+
+    @classmethod
+    def from_train_state(cls, model: SiameseEmbedder, state, **kwargs):
+        """Build from a models.siamese.TrainState."""
+        return cls(model, state.params, **kwargs)
+
+    @property
+    def output_dim(self) -> int:
+        return self.model.embed_dim
+
+    def encode(self, images: Iterable[np.ndarray] | np.ndarray) -> np.ndarray:
+        """Images -> L2-normalized embeddings (B, embed_dim)."""
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        if isinstance(images, np.ndarray) and images.ndim == 4:
+            batch = jnp.asarray(images)
+        else:
+            images = [np.asarray(i) for i in images]
+            shapes = {i.shape for i in images}
+            if len(shapes) == 1:
+                batch = jnp.asarray(np.stack(images))
+            else:
+                import cv2
+
+                batch = jnp.asarray(
+                    np.stack(
+                        [
+                            cv2.resize(
+                                i.astype(np.float32),
+                                (self.image_size, self.image_size),
+                                interpolation=cv2.INTER_AREA,
+                            )
+                            for i in images
+                        ]
+                    )
+                )
+        return np.asarray(self._jit_forward(batch))
+
+    def similarity_score(self, images1, images2) -> np.ndarray:
+        v1 = self.encode(images1)
+        v2 = self.encode(images2)
+        return np.float32(self.similarity_func(v1, v2))
+
+    def generate_encoding_map(
+        self, image_paths: Iterable[str], batch_size: int = 64
+    ) -> dict[str, np.ndarray]:
+        from ..io import imread_rgb
+
+        paths = list(image_paths)
+        out: dict[str, np.ndarray] = {}
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            vecs = self.encode([imread_rgb(p) for p in chunk])
+            for p, v in zip(chunk, vecs):
+                out[p] = v
+        return out
+
+    def __repr__(self) -> str:
+        return (
+            f"SiameseEncoder(cfg={self.model.cfg_name}, "
+            f"embed_dim={self.model.embed_dim}, image_size={self.image_size})"
+        )

@@ -215,3 +215,46 @@ def test_generate_encoding_map(tmp_path, kmeans_cb):
     m = enc.generate_encoding_map(paths)
     assert set(m.keys()) == set(paths)
     assert all(v.shape == (8 * 16,) for v in m.values())
+
+
+def test_siamese_encoder(rng):
+    import optax
+
+    from pyvisim_tpu.encoders import SiameseEncoder
+    from pyvisim_tpu.eval import top_k_accuracy
+    from pyvisim_tpu.models.siamese import SiameseEmbedder, create_train_state
+
+    model = SiameseEmbedder(cfg_name="vgg11", embed_dim=16, trunk_convs=1)
+    state = create_train_state(model, optax.adam(1e-3), image_size=32)
+    enc = SiameseEncoder.from_train_state(model, state, image_size=32)
+    imgs = [(rng.random((40 + i, 40, 3)) * 255).astype(np.uint8) for i in range(4)]
+    vecs = enc.encode(imgs)
+    assert vecs.shape == (4, 16)
+    np.testing.assert_allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-4)
+    s = enc.similarity_score(imgs[:2], imgs[2:])
+    assert s.shape == (2, 2)
+    # the embeddings flow through eval unchanged
+    emap = {f"/g/{i}": vecs[i] for i in range(4)}
+    plabels = {f"/g/{i}": i for i in range(4)}
+    acc = top_k_accuracy(imgs, list(range(4)), emap, plabels, enc, k=1)
+    assert acc == 1.0  # each image retrieves itself
+
+
+def test_siamese_encoder_generate_encoding_map(tmp_path, rng):
+    import cv2
+    import optax
+
+    from pyvisim_tpu.encoders import SiameseEncoder
+    from pyvisim_tpu.models.siamese import SiameseEmbedder, create_train_state
+
+    model = SiameseEmbedder(cfg_name="vgg11", embed_dim=8, trunk_convs=1)
+    state = create_train_state(model, optax.adam(1e-3), image_size=16)
+    enc = SiameseEncoder.from_train_state(model, state, image_size=16)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"s{i}.png")
+        cv2.imwrite(p, np.full((12, 12, 3), 30 * i, np.uint8))
+        paths.append(p)
+    m = enc.generate_encoding_map(paths)
+    assert set(m) == set(paths)
+    assert all(v.shape == (8,) for v in m.values())
