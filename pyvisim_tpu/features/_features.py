@@ -85,15 +85,22 @@ class SIFT(FeatureExtractorBase):
 
     :param backend: "tpu" or "opencv".
     :param max_keypoints: static keypoint budget N_max for the TPU backend.
+    :param process_size: static letterbox resolution of the TPU pipeline.
     """
 
-    def __init__(self, backend: str = "tpu", max_keypoints: int = 2048):
+    def __init__(
+        self,
+        backend: str = "tpu",
+        max_keypoints: int = 2048,
+        process_size: int = 512,
+    ):
         super().__init__()
         self._output_dim = 128
         if backend not in ("tpu", "opencv"):
             raise ValueError(f"Unknown SIFT backend: {backend!r}")
         self.backend = backend
         self.max_keypoints = max_keypoints
+        self.process_size = process_size
         self._root = False  # RootSIFT subclass flips this
 
     @property
@@ -111,12 +118,21 @@ class SIFT(FeatureExtractorBase):
         _, descriptors = sift.detectAndCompute(image.astype(np.uint8), None)
         return descriptors
 
+    @property
+    def _sift_cfg(self):
+        from ..ops import sift as sift_ops
+
+        return sift_ops.SiftConfig(
+            max_keypoints=self.max_keypoints, process_size=self.process_size
+        )
+
     def _tpu_descriptors(self, image: np.ndarray):
         from ..ops import sift as sift_ops
 
         gray = _to_gray_u8(image).astype(np.float32) / 255.0
         desc, mask = sift_ops.sift_single(
-            gray, max_keypoints=self.max_keypoints, root_sift=self._root
+            gray, max_keypoints=self.max_keypoints, root_sift=self._root,
+            cfg=self._sift_cfg,
         )
         return desc, mask
 
@@ -143,7 +159,8 @@ class SIFT(FeatureExtractorBase):
             images = [images]
         grays = [_to_gray_u8(np.asarray(img)) for img in images]
         return sift_ops.sift_batch(
-            grays, max_keypoints=self.max_keypoints, root_sift=self._root
+            grays, max_keypoints=self.max_keypoints, root_sift=self._root,
+            cfg=self._sift_cfg,
         )
 
     def __repr__(self):
@@ -157,8 +174,15 @@ class RootSIFT(SIFT):
     is fused into the TPU descriptor kernel.
     """
 
-    def __init__(self, backend: str = "tpu", max_keypoints: int = 2048):
-        super().__init__(backend=backend, max_keypoints=max_keypoints)
+    def __init__(
+        self,
+        backend: str = "tpu",
+        max_keypoints: int = 2048,
+        process_size: int = 512,
+    ):
+        super().__init__(
+            backend=backend, max_keypoints=max_keypoints, process_size=process_size
+        )
         self._root = True
 
 

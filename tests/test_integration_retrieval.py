@@ -15,7 +15,6 @@ cv2 = pytest.importorskip("cv2")
 from pyvisim_tpu.encoders import FisherVectorEncoder, VLADEncoder
 from pyvisim_tpu.eval import top_k_accuracy, top_k_map
 from pyvisim_tpu.features import RootSIFT
-from pyvisim_tpu.ops.sift import SiftConfig
 
 
 def make_class_images(seed, n, h=240, w=300):
@@ -62,32 +61,8 @@ def mini_dataset(tmp_path_factory):
 
 def run_stack(backend, mini_dataset, encoder_cls, **enc_kwargs):
     gallery_paths, gallery_labels, queries, query_labels = mini_dataset
-    ext = RootSIFT(backend=backend, max_keypoints=512)
-    if backend == "tpu":
-        # small processing size keeps the test fast
-        ext_cfg = SiftConfig(process_size=256, max_keypoints=512)
-        orig = ext._tpu_descriptors
-
-        def patched(image):
-            from pyvisim_tpu.features._features import _to_gray_u8
-            from pyvisim_tpu.ops import sift as sift_ops
-
-            out = sift_ops.sift_descriptors(
-                [_to_gray_u8(image)], ext_cfg, root_sift=True
-            )
-            return out["desc"][0], out["mask"][0]
-
-        ext._tpu_descriptors = patched
-
-        def batch(images):
-            from pyvisim_tpu.features._features import _to_gray_u8
-            from pyvisim_tpu.ops import sift as sift_ops
-
-            grays = [_to_gray_u8(np.asarray(i)) for i in images]
-            out = sift_ops.sift_descriptors(grays, ext_cfg, root_sift=True)
-            return out["desc"], out["mask"]
-
-        ext.extract_batch = batch
+    # small processing size keeps the test fast
+    ext = RootSIFT(backend=backend, max_keypoints=512, process_size=256)
     enc = encoder_cls(feature_extractor=ext, **enc_kwargs)
     from pyvisim_tpu.io import imread_rgb
 
