@@ -29,6 +29,9 @@ class RetrievalIndex:
     :param paths: N identifiers (file paths or ids).
     :param labels: optional N integer labels.
     :param mesh: optional mesh; gallery rows are then sharded over 'data'.
+    :param quantize: None (float32 gallery) or "int8" — symmetric per-row
+        int8 quantization of the normalized gallery (4x HBM density; the
+        query matmul runs on the int8 MXU path with per-row rescaling).
     """
 
     def __init__(
@@ -37,6 +40,7 @@ class RetrievalIndex:
         paths: Sequence[str],
         labels: Sequence[int] | None = None,
         mesh=None,
+        quantize: str | None = None,
     ):
         vectors = jnp.asarray(vectors, jnp.float32)
         if vectors.ndim != 2 or len(paths) != vectors.shape[0]:
@@ -44,16 +48,32 @@ class RetrievalIndex:
                 f"vectors must be (N, D) with N == len(paths); got "
                 f"{vectors.shape} and {len(paths)} paths"
             )
+        if quantize not in (None, "int8"):
+            raise ValueError(f"Unknown quantize mode: {quantize!r}")
         norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
         vectors = vectors / jnp.where(norms == 0, 1.0, norms)
+
+        scales = None
+        if quantize == "int8":
+            max_abs = jnp.maximum(jnp.max(jnp.abs(vectors), axis=1, keepdims=True), 1e-12)
+            scales = max_abs / 127.0  # dequant factor per row
+            vectors = jnp.clip(
+                jnp.round(vectors / scales), -127, 127
+            ).astype(jnp.int8)
+
         if mesh is not None:
             from .parallel import data_sharding, pad_to_multiple
 
             vectors, self._n = pad_to_multiple(vectors, mesh.shape["data"])
             vectors = jax.device_put(vectors, data_sharding(mesh, 2))
+            if scales is not None:
+                scales, _ = pad_to_multiple(scales, mesh.shape["data"])
+                scales = jax.device_put(scales, data_sharding(mesh, 2))
         else:
             self._n = vectors.shape[0]
         self.vectors = vectors
+        self.scales = scales
+        self.quantize = quantize
         self.paths = list(paths)
         self.labels = None if labels is None else np.asarray(labels)
         self.mesh = mesh
@@ -66,14 +86,23 @@ class RetrievalIndex:
         # closed-over concrete array would be baked into the HLO as a
         # (potentially multi-GB) constant.
         @partial(jax.jit, static_argnames=("k",))
-        def _query_impl(q, gallery, k):
+        def _query_impl(q, gallery, scales, k):
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-            sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
+            if gallery.dtype == jnp.int8:
+                # int8 MXU path: quantize the query symmetrically, dot in
+                # int32, rescale by both sides' scales.
+                q_max = jnp.maximum(jnp.max(jnp.abs(qn), axis=1, keepdims=True), 1e-12)
+                q_scale = q_max / 127.0
+                q8 = jnp.clip(jnp.round(qn / q_scale), -127, 127).astype(jnp.int8)
+                acc = jnp.dot(q8, gallery.T, preferred_element_type=jnp.int32)
+                sims = acc.astype(jnp.float32) * q_scale * scales.T
+            else:
+                sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
             if sims.shape[1] > n:  # mask sharding pad
                 sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
             return jax.lax.top_k(sims, k)
 
-        self._query = lambda q, k: _query_impl(q, self.vectors, k)
+        self._query = lambda q, k: _query_impl(q, self.vectors, self.scales, k)
 
     @classmethod
     def build(
@@ -131,7 +160,10 @@ class RetrievalIndex:
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
-        """Persist vectors/paths/labels to .npz."""
+        """Persist vectors/paths/labels (and int8 scales) to .npz."""
+        extra = {}
+        if self.quantize == "int8":
+            extra["scales"] = np.asarray(self.scales)[: self._n]
         np.savez(
             path,
             vectors=np.asarray(self.vectors)[: self._n],
@@ -139,12 +171,22 @@ class RetrievalIndex:
             labels=(
                 np.array([], np.int64) if self.labels is None else self.labels
             ),
+            **extra,
         )
 
     @classmethod
     def load(cls, path: str, mesh=None) -> "RetrievalIndex":
         with np.load(path, allow_pickle=False) as data:
             labels = data["labels"] if data["labels"].size else None
+            vectors = data["vectors"]
+            if vectors.dtype == np.int8:
+                # rebuild the float gallery, then requantize (cheap, exact
+                # round trip since rows were already normalized)
+                vectors = vectors.astype(np.float32) * data["scales"]
+                return cls(
+                    vectors, [str(p) for p in data["paths"]], labels,
+                    mesh=mesh, quantize="int8",
+                )
             return cls(
-                data["vectors"], [str(p) for p in data["paths"]], labels, mesh=mesh
+                vectors, [str(p) for p in data["paths"]], labels, mesh=mesh
             )

@@ -21,6 +21,11 @@ from .norms import lp_norm, lp_normalize, power_normalize
 from .vlad import vlad_aggregate, vlad_encode, vlad_encode_batch
 from .fisher import fisher_encode, fisher_encode_batch, fisher_stats
 from .similarity import cosine_similarity_matrix, pairwise_euclidean
+from .kmeans import kmeans_fit
+from .gmm import gmm_fit
+from .pca import pca_fit
+from .spectral import spectral_cluster
+from .gaussian import gaussian_blur, gaussian_blur_batch
 
 __all__ = [
     "GmmCodebook",
@@ -43,4 +48,10 @@ __all__ = [
     "fisher_stats",
     "cosine_similarity_matrix",
     "pairwise_euclidean",
+    "kmeans_fit",
+    "gmm_fit",
+    "pca_fit",
+    "spectral_cluster",
+    "gaussian_blur",
+    "gaussian_blur_batch",
 ]

@@ -80,3 +80,32 @@ def test_shape_validation(index_setup):
     vecs, paths, _ = index_setup
     with pytest.raises(ValueError, match="N == len"):
         RetrievalIndex(vecs, paths[:-1])
+
+
+def test_int8_quantized_index(index_setup, rng):
+    vecs, paths, _ = index_setup
+    f32 = RetrievalIndex(vecs, paths)
+    q8 = RetrievalIndex(vecs, paths, quantize="int8")
+    assert q8.vectors.dtype.name == "int8"
+    q = rng.normal(size=(6, 16)).astype(np.float32)
+    s_f, i_f = f32.query_vectors(q, 5)
+    s_q, i_q = q8.query_vectors(q, 5)
+    # rank-1 agreement and close scores
+    np.testing.assert_array_equal(i_f[:, 0], i_q[:, 0])
+    np.testing.assert_allclose(s_f, s_q, atol=0.03)
+    # top-5 set overlap high
+    overlap = np.mean([len(set(a) & set(b)) / 5 for a, b in zip(i_f, i_q)])
+    assert overlap >= 0.8
+
+
+def test_int8_index_save_load(index_setup, tmp_path, rng):
+    vecs, paths, labels = index_setup
+    q8 = RetrievalIndex(vecs, paths, labels, quantize="int8")
+    p = str(tmp_path / "q8.npz")
+    q8.save(p)
+    back = RetrievalIndex.load(p)
+    assert back.quantize == "int8"
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        q8.query_vectors(q, 4)[1], back.query_vectors(q, 4)[1]
+    )
