@@ -11,5 +11,12 @@ from __future__ import annotations
 import numpy as np
 
 from ._loader import imread_rgb, imread_rgb_batch, native_loader_available
+from ._prefetch import PrefetchIterator, prefetch_to_device
 
-__all__ = ["imread_rgb", "imread_rgb_batch", "native_loader_available"]
+__all__ = [
+    "imread_rgb",
+    "imread_rgb_batch",
+    "native_loader_available",
+    "PrefetchIterator",
+    "prefetch_to_device",
+]

@@ -64,3 +64,46 @@ def test_non_jpeg_fallback(tmp_path, rng):
 def test_missing_file_raises():
     with pytest.raises(FileNotFoundError):
         imread_rgb("/nonexistent/path.png")
+
+
+def test_prefetch_iterator_order_and_completion(rng):
+    from pyvisim_tpu.io import prefetch_to_device
+
+    batches = [
+        (np.full((2, 4, 4, 3), i, np.uint8), np.array([i, i])) for i in range(6)
+    ]
+    out = list(prefetch_to_device(iter(batches), depth=3))
+    assert len(out) == 6
+    for i, (imgs, labels) in enumerate(out):
+        assert int(np.asarray(labels)[0]) == i
+        assert hasattr(imgs, "devices") or hasattr(imgs, "sharding")  # on device
+
+
+def test_prefetch_propagates_producer_error():
+    from pyvisim_tpu.io import PrefetchIterator
+
+    def bad_source():
+        yield np.zeros((1,))
+        raise RuntimeError("decode failed")
+
+    it = PrefetchIterator(bad_source(), to_device=False)
+    next(it)
+    with pytest.raises(RuntimeError, match="decode failed"):
+        next(it)
+
+
+def test_prefetch_overlaps_producer(rng):
+    import time
+
+    from pyvisim_tpu.io import PrefetchIterator
+
+    def slow_source():
+        for i in range(4):
+            time.sleep(0.05)
+            yield i
+
+    it = PrefetchIterator(slow_source(), depth=4, to_device=False)
+    time.sleep(0.25)  # producer should have finished everything by now
+    t0 = time.perf_counter()
+    assert list(it) == [0, 1, 2, 3]
+    assert time.perf_counter() - t0 < 0.05  # consumed from the queue, no waiting
