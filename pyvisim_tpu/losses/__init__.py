@@ -8,6 +8,7 @@ from ._losses import (
     dice_loss,
     focal_loss,
     hybrid_focal_dice_loss,
+    margin_softmax_loss,
     nt_xent_loss,
     soft_dice_score,
     triplet_loss,
@@ -23,5 +24,6 @@ __all__ = [
     "triplet_loss",
     "contrastive_loss",
     "nt_xent_loss",
+    "margin_softmax_loss",
     "soft_dice_score",
 ]

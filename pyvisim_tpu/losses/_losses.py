@@ -24,6 +24,7 @@ __all__ = [
     "triplet_loss",
     "contrastive_loss",
     "nt_xent_loss",
+    "margin_softmax_loss",
     "MultiClassDiceLoss",
     "FocalLoss",
     "HybridFocalDiceLoss",
@@ -318,3 +319,41 @@ class HybridFocalDiceLoss(_LossModule):
 
     def forward(self, y_pred, y_true):
         return hybrid_focal_dice_loss(y_pred, y_true, **self.kwargs)
+
+
+def margin_softmax_loss(
+    embeddings,
+    labels,
+    class_weights,
+    *,
+    margin: float = 0.5,
+    scale: float = 64.0,
+    kind: str = "arcface",
+):
+    """Large-margin softmax over L2-normalized embeddings and class weights.
+
+    ``kind='arcface'`` adds an additive *angular* margin (cos(theta + m));
+    ``kind='cosface'`` an additive *cosine* margin (cos(theta) - m). The
+    standard heads for face/instance retrieval training — a natural
+    extension of the reference's declared retrieval-loss roadmap
+    (_losses.py:1-4).
+
+    :param embeddings: (B, E)
+    :param labels: (B,) int class ids
+    :param class_weights: (C, E) learnable class centers
+    """
+    z = _l2n(embeddings)
+    w = _l2n(class_weights)
+    cos = jnp.clip(jnp.dot(z, w.T), -1.0 + 1e-7, 1.0 - 1e-7)  # (B, C)
+    labels = jnp.asarray(labels)
+    one_hot = jax.nn.one_hot(labels, class_weights.shape[0])
+    if kind == "arcface":
+        theta = jnp.arccos(cos)
+        cos_margin = jnp.cos(theta + margin)
+    elif kind == "cosface":
+        cos_margin = cos - margin
+    else:
+        raise ValueError(f"Unknown margin-softmax kind: {kind!r}")
+    logits = scale * (one_hot * cos_margin + (1.0 - one_hot) * cos)
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.sum(one_hot * log_probs, axis=-1))

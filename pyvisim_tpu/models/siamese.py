@@ -19,7 +19,7 @@ import optax
 from flax import linen as nn
 from flax import struct
 
-from ..losses import nt_xent_loss
+from ..losses import margin_softmax_loss, nt_xent_loss
 from .vgg import VGG_CFGS
 
 __all__ = ["SiameseEmbedder", "TrainState", "create_train_state", "train_step", "embed"]
@@ -47,11 +47,15 @@ class SiameseEmbedder(nn.Module):
     :param embed_dim: output embedding dimensionality.
     :param trunk_convs: number of leading conv blocks of the cfg to use
         (None = all). Fewer blocks = cheaper trunk for small inputs.
+    :param n_classes: when set, a learnable (n_classes, embed_dim)
+        class-weight matrix is created for margin-softmax training
+        (losses 'arcface' / 'cosface').
     """
 
     cfg_name: str = "vgg16"
     embed_dim: int = 128
     trunk_convs: int | None = None
+    n_classes: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,6 +75,13 @@ class SiameseEmbedder(nn.Module):
         x = GeMPool()(x)  # (B, C)
         x = nn.relu(nn.Dense(2 * self.embed_dim, dtype=self.dtype)(x))
         x = nn.Dense(self.embed_dim, dtype=self.dtype)(x)
+        if self.n_classes is not None:
+            # registered for margin-softmax losses; read from the param tree
+            self.param(
+                "class_weights",
+                nn.initializers.normal(0.01),
+                (self.n_classes, self.embed_dim),
+            )
         return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
@@ -104,6 +115,9 @@ def make_loss_fn(model: SiameseEmbedder, loss: str = "nt_xent", **loss_kwargs) -
         emb = model.apply(params, images)
         if loss == "nt_xent":
             return nt_xent_loss(emb, labels, **loss_kwargs)
+        if loss in ("arcface", "cosface"):
+            w = params["params"]["class_weights"]
+            return margin_softmax_loss(emb, labels, w, kind=loss, **loss_kwargs)
         if loss == "triplet":
             # batch-hard triplets mined inside the batch
             d = jnp.sum((emb[:, None, :] - emb[None, :, :]) ** 2, axis=-1)

@@ -61,6 +61,7 @@ def make_sharded_trainer(
     learning_rate: float = 1e-3,
     loss: str = "nt_xent",
     seed: int = 0,
+    n_classes: int | None = None,
     **loss_kwargs,
 ):
     """Build (model, sharded TrainState, jitted step_fn).
@@ -69,7 +70,8 @@ def make_sharded_trainer(
     ``(B, S, S, 3)`` float in [0, 1] with B divisible by the 'data' axis.
     """
     model = SiameseEmbedder(
-        cfg_name=cfg_name, embed_dim=embed_dim, trunk_convs=trunk_convs
+        cfg_name=cfg_name, embed_dim=embed_dim, trunk_convs=trunk_convs,
+        n_classes=n_classes,
     )
     optimizer = optax.adamw(learning_rate)
     state = create_train_state(model, optimizer, image_size=image_size, seed=seed)

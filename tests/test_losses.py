@@ -145,3 +145,27 @@ def test_nt_xent_prefers_clustered(rng):
     )
     rand = rng.normal(size=(4, 2)).astype(np.float32)
     assert float(nt_xent_loss(clustered, labels)) < float(nt_xent_loss(rand, labels))
+
+
+@pytest.mark.parametrize("kind", ["arcface", "cosface"])
+def test_margin_softmax_loss(kind, rng):
+    from pyvisim_tpu.losses import margin_softmax_loss
+
+    c, e = 5, 16
+    w = rng.normal(size=(c, e)).astype(np.float32)
+    labels = np.array([0, 1, 2, 3, 4, 0])
+    # embeddings aligned with their class weights -> low loss
+    aligned = w[labels] + 0.01 * rng.normal(size=(6, e)).astype(np.float32)
+    lo = float(margin_softmax_loss(aligned, labels, w, kind=kind))
+    scrambled = w[(labels + 2) % c]
+    hi = float(margin_softmax_loss(scrambled, labels, w, kind=kind))
+    assert lo < hi
+    assert np.isfinite(lo) and np.isfinite(hi)
+    # gradients flow to both embeddings and weights
+    import jax
+
+    g_e, g_w = jax.grad(
+        lambda z, ww: margin_softmax_loss(z, labels, ww, kind=kind), argnums=(0, 1)
+    )(jnp.asarray(aligned), jnp.asarray(w))
+    assert np.isfinite(np.asarray(g_e)).all()
+    assert np.isfinite(np.asarray(g_w)).all()

@@ -106,3 +106,20 @@ def test_tp_mesh_train_step(rng):
     dense_kernel = state.params["params"]["Dense_0"]["kernel"]
     spec = dense_kernel.sharding.spec
     assert "model" in str(spec)
+
+
+def test_arcface_train_step(mesh, rng):
+    from pyvisim_tpu.parallel import make_sharded_trainer
+
+    model, state, step_fn = make_sharded_trainer(
+        mesh, cfg_name="vgg11", embed_dim=16, trunk_convs=1, image_size=16,
+        loss="arcface", n_classes=4, margin=0.3,
+    )
+    images = jnp.asarray(rng.random((8, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=8))
+    losses = []
+    for _ in range(6):
+        state, loss = step_fn(state, images, labels)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
