@@ -65,6 +65,10 @@ class SiftConfig:
     # >= 0.8 * max (SIFT_ORI_PEAK_RATIO); False keeps only the dominant
     # orientation (faster, slightly fewer descriptors).
     multi_orientation: bool = True
+    # candidate-axis chunk sizes for the orientation/descriptor patch
+    # pipelines (memory vs sequential-step trade-off)
+    ori_chunk: int = 256
+    desc_chunk: int = 64
 
     @property
     def base_size(self) -> int:
@@ -283,35 +287,36 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
 # ---------------------------------------------------------------------------
 # Orientation
 # ---------------------------------------------------------------------------
-def _grad_patches(gauss, layer, r, c, radius: int):
-    """Gather dx, dy patches of size (2R+1, 2R+1) around (r, c) from the
-    (L+3, H, W) gaussian stack at the given layer (OpenCV gradient
-    convention: dx = I[r, c+1]-I[r, c-1], dy = I[r-1, c]-I[r+1, c]).
-    Returns dx, dy, and an in-bounds mask."""
-    h, w = gauss.shape[1], gauss.shape[2]
+def _grad_stacks(gauss: jnp.ndarray, pad: int):
+    """Dense per-octave gradient stacks, zero-padded by ``pad`` on H/W.
+
+    OpenCV convention: dx = I[r, c+1] - I[r, c-1]; dy = I[r-1, c] - I[r+1, c]
+    (y-up). Computed once per octave so per-candidate patch extraction is a
+    contiguous ``dynamic_slice`` instead of an element gather — the gathers
+    were the dominant cost of the whole SIFT pipeline on TPU.
+    """
+    dx = jnp.pad(gauss[:, :, 2:] - gauss[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    dy = jnp.pad(gauss[:, :-2, :] - gauss[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
+    widths = ((0, 0), (pad, pad), (pad, pad))
+    return jnp.pad(dx, widths), jnp.pad(dy, widths)
+
+
+def _grad_patches(dxs, dys, layer, r, c, radius: int, h: int, w: int, pad: int):
+    """(2R+1, 2R+1) dx/dy patches around (r, c) at ``layer`` via contiguous
+    dynamic slices of the padded gradient stacks, plus the OpenCV
+    border-validity mask (r, c within [1, dim-2])."""
     p = 2 * radius + 1
+    start = (layer, r - radius + pad, c - radius + pad)
+    dx = jax.lax.dynamic_slice(dxs, start, (1, p, p))[0]
+    dy = jax.lax.dynamic_slice(dys, start, (1, p, p))[0]
     off = jnp.arange(-radius, radius + 1)
-    rr = r + off[:, None]  # (P, 1)
-    cc = c + off[None, :]  # (1, P)
-    rr_b = jnp.broadcast_to(rr, (p, p))
-    cc_b = jnp.broadcast_to(cc, (p, p))
-    inb = (rr_b >= 1) & (rr_b < h - 1) & (cc_b >= 1) & (cc_b < w - 1)
-    rr_c = jnp.clip(rr_b, 0, h - 1)
-    cc_c = jnp.clip(cc_b, 0, w - 1)
-    # NOTE: the layer index is folded into the gather (gauss[layer, ...])
-    # rather than selecting gauss[layer] first — under vmap over candidates
-    # the latter would materialize a full (H, W) image per candidate.
-    lay = jnp.broadcast_to(layer, (p, p))
-    dx = gauss[lay, rr_c, jnp.clip(cc_c + 1, 0, w - 1)] - gauss[
-        lay, rr_c, jnp.clip(cc_c - 1, 0, w - 1)
-    ]
-    dy = gauss[lay, jnp.clip(rr_c - 1, 0, h - 1), cc_c] - gauss[
-        lay, jnp.clip(rr_c + 1, 0, h - 1), cc_c
-    ]
+    rr = r + off[:, None]
+    cc = c + off[None, :]
+    inb = (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
     return dx, dy, inb
 
 
-def _orientation(gauss, layer, r, c, scl_oct, valid, cfg: SiftConfig):
+def _orientation(dxs, dys, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig):
     """Dominant gradient orientation (radians, OpenCV's grad-angle
     convention θ = atan2(dy, dx) with y-up dy). Histogram built as a dense
     (P², 36) one-hot-mix matmul; smoothing is OpenCV's [1,4,6,4,1]/16
@@ -321,7 +326,7 @@ def _orientation(gauss, layer, r, c, scl_oct, valid, cfg: SiftConfig):
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
     R = cfg.ori_patch_radius
 
-    dx, dy, inb = _grad_patches(gauss, layer, r, c, R)
+    dx, dy, inb = _grad_patches(dxs, dys, layer, r, c, R, h, w, pad)
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None]
     jj = off[None, :]
@@ -375,7 +380,7 @@ def _orientation(gauss, layer, r, c, scl_oct, valid, cfg: SiftConfig):
 # ---------------------------------------------------------------------------
 # Descriptor
 # ---------------------------------------------------------------------------
-def _descriptor(gauss, layer, r, c, scl_oct, theta, valid, cfg: SiftConfig):
+def _descriptor(dxs, dys, h, w, pad, layer, r, c, scl_oct, theta, valid, cfg: SiftConfig):
     """128-D descriptor, OpenCV calcSIFTDescriptor semantics, built as a
     dense einsum over rank-1 trilinear weight products (no scatter)."""
     d, n = 4, 8
@@ -387,7 +392,7 @@ def _descriptor(gauss, layer, r, c, scl_oct, theta, valid, cfg: SiftConfig):
     radius_f = jnp.round(hist_width * 1.4142135623730951 * (d + 1) * 0.5)
     R = cfg.desc_patch_radius
 
-    dx, dy, inb = _grad_patches(gauss, layer, r, c, R)
+    dx, dy, inb = _grad_patches(dxs, dys, layer, r, c, R, h, w, pad)
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None] + jnp.zeros((1, 2 * R + 1))  # row offsets i
     jj = off[None, :] + jnp.zeros((2 * R + 1, 1))  # col offsets j
@@ -508,17 +513,25 @@ def _detect_octave(gauss_o, dog_o, budget, cfg: SiftConfig):
     )
     scl_oct = cfg.sigma * 2.0 ** ((layer.astype(jnp.float32) + xi) / cfg.n_octave_layers)
 
+    h, w = gauss_o.shape[1], gauss_o.shape[2]
+    pad = cfg.desc_patch_radius
+    dxs, dys = _grad_stacks(gauss_o, pad)
+
     theta, theta2, has_second = _chunked_vmap(
-        lambda l, rr, cc, s, v: _orientation(gauss_o, l, rr, cc, s, v, cfg),
+        lambda l, rr, cc, s, v: _orientation(
+            dxs, dys, h, w, pad, l, rr, cc, s, v, cfg
+        ),
         (layer, r, c, scl_oct, ok),
-        chunk=min(256, budget),
+        chunk=min(cfg.ori_chunk, budget),
     )
 
     def describe(thetas, valids):
         return _chunked_vmap(
-            lambda l, rr, cc, s, t, v: _descriptor(gauss_o, l, rr, cc, s, t, v, cfg),
+            lambda l, rr, cc, s, t, v: _descriptor(
+                dxs, dys, h, w, pad, l, rr, cc, s, t, v, cfg
+            ),
             (layer, r, c, scl_oct, thetas, valids),
-            chunk=min(64, budget),
+            chunk=min(cfg.desc_chunk, budget),
         )
 
     common = {
