@@ -217,7 +217,7 @@ class ImageEncoderBase(SimilarityMetric):
         self._clustering_model = None
         self._pca = None
         self._similarity_func = None
-        self._encode_jit = None
+        self._encode_jit = {}
 
         self.similarity_func = similarity_func
         self.feature_extractor = feature_extractor
@@ -240,7 +240,18 @@ class ImageEncoderBase(SimilarityMetric):
 
     # -- config properties (invalidate the jitted core on change) ----------
     def _invalidate(self):
-        self._encode_jit = None
+        self._encode_jit = {}
+
+    def _config_key(self) -> tuple:
+        """Values closed over by the traced encode graph. Keying the jit
+        cache on them lets configs toggle back and forth (e.g. Pipeline
+        forcing ``flatten=True``) without recompiling either graph."""
+        return (
+            self._power_norm_weight,
+            self._norm_order,
+            self._epsilon,
+            self._flatten,
+        )
 
     @property
     def power_norm_weight(self) -> float:
@@ -249,7 +260,6 @@ class ImageEncoderBase(SimilarityMetric):
     @power_norm_weight.setter
     def power_norm_weight(self, v: float):
         self._power_norm_weight = float(v)
-        self._invalidate()
 
     @property
     def norm_order(self) -> float:
@@ -258,7 +268,6 @@ class ImageEncoderBase(SimilarityMetric):
     @norm_order.setter
     def norm_order(self, v: float):
         self._norm_order = float(v)
-        self._invalidate()
 
     @property
     def epsilon(self) -> float:
@@ -267,7 +276,6 @@ class ImageEncoderBase(SimilarityMetric):
     @epsilon.setter
     def epsilon(self, v: float):
         self._epsilon = float(v)
-        self._invalidate()
 
     @property
     def flatten(self) -> bool:
@@ -276,7 +284,6 @@ class ImageEncoderBase(SimilarityMetric):
     @flatten.setter
     def flatten(self, v: bool):
         self._flatten = bool(v)
-        self._invalidate()
 
     # -- wired components (parity validation; _base_encoder.py:222-309) ----
     @property
@@ -391,15 +398,16 @@ class ImageEncoderBase(SimilarityMetric):
         raise NotImplementedError
 
     def _get_encode_fn(self):
-        if self._encode_jit is None:
+        key = self._config_key()
+        if key not in self._encode_jit:
             core = self._encode_core
 
             @jax.jit
             def fn(desc, mask, clustering_model, pca):
                 return core(desc, mask, clustering_model, pca)
 
-            self._encode_jit = fn
-        return self._encode_jit
+            self._encode_jit[key] = fn
+        return self._encode_jit[key]
 
     def encode(self, images: Iterable[np.ndarray] | np.ndarray) -> np.ndarray:
         """Encode one or more images into vector representations.
@@ -471,16 +479,28 @@ class ImageEncoderBase(SimilarityMetric):
             )
             d_b = np.asarray(d_b, np.float32).reshape(-1, np.asarray(d_b).shape[-1])
             m_b = np.asarray(m_b, np.float32).reshape(-1)
+            n_valid = int(np.count_nonzero(m_b))
+            if n_valid == 0:
+                continue  # low-texture batch: nothing to learn from
             if per_batch_cap is not None and d_b.shape[0] > per_batch_cap:
+                # Sample only among valid descriptors; a fixed SIFT budget
+                # commonly leaves fewer nonzero-mask rows than the cap.
+                take = min(per_batch_cap, n_valid)
                 idx = rng.choice(
                     d_b.shape[0],
-                    size=per_batch_cap,
+                    size=take,
                     replace=False,
-                    p=m_b / max(m_b.sum(), 1.0),
+                    p=m_b / m_b.sum(),
                 )
                 d_b, m_b = d_b[idx], m_b[idx]
             desc_parts.append(d_b)
             mask_parts.append(m_b)
+        if not desc_parts:
+            raise RuntimeError(
+                "learn(): no valid descriptors were extracted from any batch; "
+                "cannot train a vocabulary (all images below the extractor's "
+                "detection threshold?)"
+            )
         flat = jnp.asarray(np.concatenate(desc_parts))
         flat_mask = jnp.asarray(np.concatenate(mask_parts))
         d = flat.shape[1]

@@ -61,10 +61,23 @@ class PrefetchIterator:
                         item,
                         is_leaf=lambda a: hasattr(a, "shape"),
                     )
-                self._queue.put(item)
-            self._queue.put(_SENTINEL)
+                if not self._put(item):
+                    return
+            self._put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 - surfaced to the consumer
-            self._queue.put(e)
+            self._put(e)
+
+    def _put(self, item) -> bool:
+        """Enqueue, waking periodically to recheck ``_closed`` so a producer
+        blocked on a full queue can't outlive close() (and keep device-put
+        arrays pinned in HBM)."""
+        while not self._closed:
+            try:
+                self._queue.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def __iter__(self):
         return self
@@ -79,7 +92,15 @@ class PrefetchIterator:
 
     def close(self) -> None:
         self._closed = True
-        # drain so the producer unblocks and exits
+        # Drain until the producer thread has actually exited — a single
+        # drain could race a producer that re-enqueues and re-blocks.
+        while self._thread.is_alive():
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue.Empty:
+                pass
+            self._thread.join(timeout=0.05)
         try:
             while True:
                 self._queue.get_nowait()

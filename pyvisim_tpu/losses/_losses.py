@@ -178,9 +178,11 @@ def hybrid_focal_dice_loss(
         y_pred, y_true, mode=mode, alpha=alpha, gamma=gamma,
         from_logits=from_logits, ignore_index=ignore_index,
     )
+    # Parity: the reference's HybridFocalDiceLoss builds its dice term
+    # WITHOUT ignore_index (only the focal term masks; _losses.py:189-192).
     d = dice_loss(
         y_pred, y_true, mode=mode, from_logits=from_logits,
-        smooth=smooth, eps=eps, ignore_index=ignore_index,
+        smooth=smooth, eps=eps,
     )
     return focal_weight * f + dice_weight * d
 

@@ -201,11 +201,16 @@ def save_codebook(path, codebook) -> None:
     kind = _CLS_TO_KIND.get(type(codebook))
     if kind is None:
         raise TypeError(f"Not a known codebook type: {type(codebook)}")
-    arrays = {
-        k: np.asarray(v)
-        for k, v in vars(codebook).items()
-        if v is not None and not isinstance(v, bool)
-    }
+    arrays = {}
+    for k, v in vars(codebook).items():
+        if v is None:
+            continue
+        # Static (non-pytree) bool fields like PcaProjector.whiten travel as
+        # 0-d arrays under a marker prefix and come back as Python bools.
+        if isinstance(v, bool):
+            arrays[f"__bool__{k}"] = np.asarray(v)
+        else:
+            arrays[k] = np.asarray(v)
     np.savez(path, __kind__=np.array(kind), **arrays)
 
 
@@ -214,7 +219,12 @@ def load_codebook(path):
     with np.load(path, allow_pickle=False) as data:
         kind = str(data["__kind__"])
         cls = _KIND_TO_CLS[kind]
-        kwargs = {
-            k: jnp.asarray(data[k]) for k in data.files if k != "__kind__"
-        }
+        kwargs = {}
+        for k in data.files:
+            if k == "__kind__":
+                continue
+            if k.startswith("__bool__"):
+                kwargs[k[len("__bool__"):]] = bool(data[k])
+            else:
+                kwargs[k] = jnp.asarray(data[k])
     return cls(**kwargs)

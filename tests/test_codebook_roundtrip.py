@@ -52,3 +52,29 @@ def test_pca_round_trip(rng):
     back = cb.to_sklearn()
     q = rng.normal(size=(20, 16)).astype(np.float64)
     np.testing.assert_allclose(back.transform(q), sk.transform(q), atol=1e-5)
+
+
+def test_pca_whiten_save_load_roundtrip(tmp_path, rng):
+    """ADVICE r1: whiten was dropped by save_codebook, silently flipping
+    projections after a save/load round trip."""
+    from pyvisim_tpu.ops import load_codebook, save_codebook
+
+    x = rng.normal(size=(100, 10)).astype(np.float32)
+    proj = PcaProjector(
+        mean=x.mean(0),
+        components=np.linalg.svd(x - x.mean(0), full_matrices=False)[2][:4],
+        explained_variance=np.array([4.0, 3.0, 2.0, 1.0], np.float32),
+        whiten=True,
+    )
+    path = tmp_path / "pca_whiten.npz"
+    save_codebook(path, proj)
+    back = load_codebook(path)
+    assert back.whiten is True
+    q = rng.normal(size=(7, 10)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(back(q)), np.asarray(proj(q)), atol=1e-6)
+
+    # and the default (whiten=False) also survives
+    proj_nw = PcaProjector(mean=proj.mean, components=proj.components,
+                           explained_variance=proj.explained_variance)
+    save_codebook(path, proj_nw)
+    assert load_codebook(path).whiten is False

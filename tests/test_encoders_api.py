@@ -258,3 +258,53 @@ def test_siamese_encoder_generate_encoding_map(tmp_path, rng):
     m = enc.generate_encoding_map(paths)
     assert set(m) == set(paths)
     assert all(v.shape == (8,) for v in m.values())
+
+
+def test_encode_fn_cache_keyed_on_config(kmeans_cb):
+    """ADVICE r1: Pipeline toggling flatten retraced every call. The jit
+    cache is keyed on config, so toggling back and forth reuses graphs."""
+    enc = VLADEncoder(
+        feature_extractor=make_lambda(), kmeans_model=kmeans_cb, flatten=False
+    )
+    fn_false = enc._get_encode_fn()
+    enc.flatten = True
+    fn_true = enc._get_encode_fn()
+    assert fn_true is not fn_false
+    enc.flatten = False
+    assert enc._get_encode_fn() is fn_false  # cache hit, no new trace
+    enc.flatten = True
+    assert enc._get_encode_fn() is fn_true
+    # structural changes still invalidate
+    enc.clustering_model = kmeans_cb
+    assert enc._get_encode_fn() is not fn_true
+
+
+def test_learn_with_sparse_valid_descriptors(rng):
+    """ADVICE r1: max_descriptors subsampling crashed when a batch had fewer
+    valid (nonzero-mask) descriptors than the per-batch cap."""
+    from pyvisim_tpu.features import FeatureExtractorBase
+
+    class SparseExtractor(FeatureExtractorBase):
+        """4 of 32 rows valid per image — far fewer than the cap."""
+
+        @property
+        def output_dim(self):
+            return 8
+
+        def __call__(self, image):
+            r = np.random.default_rng(int(image.sum()) % 2**31)
+            return r.normal(size=(4, 8)).astype(np.float32)
+
+        def extract_batch(self, images):
+            desc = np.zeros((len(images), 32, 8), np.float32)
+            mask = np.zeros((len(images), 32), np.float32)
+            for i, im in enumerate(images):
+                d = self(im)
+                desc[i, : len(d)] = d
+                mask[i, : len(d)] = 1.0
+            return desc, mask
+
+    enc = VLADEncoder(feature_extractor=SparseExtractor())
+    imgs = [np.full((4, 4, 3), v, np.uint8) for v in range(6)]
+    enc.learn(imgs, n_clusters=3, batch_size=2, max_descriptors=30, seed=0)
+    assert enc.clustering_model.centers.shape == (3, 8)

@@ -107,3 +107,19 @@ def test_prefetch_overlaps_producer(rng):
     t0 = time.perf_counter()
     assert list(it) == [0, 1, 2, 3]
     assert time.perf_counter() - t0 < 0.05  # consumed from the queue, no waiting
+
+
+def test_prefetch_close_joins_blocked_producer():
+    """ADVICE r1: a producer blocked in queue.put could outlive close()."""
+    import itertools
+    import time
+
+    from pyvisim_tpu.io import prefetch_to_device
+
+    it = prefetch_to_device(itertools.count(), depth=1)
+    next(it)  # producer is now blocked refilling the depth-1 queue
+    time.sleep(0.05)
+    it.close()
+    it._thread.join(timeout=2.0)
+    assert not it._thread.is_alive()
+    assert it._queue.empty()

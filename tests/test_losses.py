@@ -169,3 +169,15 @@ def test_margin_softmax_loss(kind, rng):
     )(jnp.asarray(aligned), jnp.asarray(w))
     assert np.isfinite(np.asarray(g_e)).all()
     assert np.isfinite(np.asarray(g_w)).all()
+
+
+def test_hybrid_ignore_index_only_masks_focal(seg_batch):
+    """ADVICE r1: the reference's hybrid builds its dice term WITHOUT
+    ignore_index (only focal masks; reference _losses.py:189-192)."""
+    from pyvisim_tpu.losses import dice_loss, focal_loss, hybrid_focal_dice_loss
+
+    logits, target = seg_batch
+    h = hybrid_focal_dice_loss(logits, target, ignore_index=0)
+    f = focal_loss(logits, target, ignore_index=0)
+    d = dice_loss(logits, target)  # no ignore_index, per reference
+    np.testing.assert_allclose(float(h), 0.5 * float(f) + 0.5 * float(d), rtol=1e-6)
