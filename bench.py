@@ -97,7 +97,7 @@ def main() -> None:
     from pyvisim_tpu.ops.vlad import vlad_encode
 
     batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "128"))
-    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "40"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "120"))
     dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
 
@@ -108,25 +108,44 @@ def main() -> None:
     centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
     images = jnp.asarray((rng.random((batch, 224, 224, 3)) * 255).astype(np.uint8))
 
-    @jax.jit
-    def encode(images):
-        desc = ext._forward(images).astype(jnp.float32)  # (B, 196, 514)
+    def encode_once(imgs):
+        desc = ext._forward(imgs).astype(jnp.float32)  # (B, 196, 514)
         mask = jnp.ones(desc.shape[:2], jnp.float32)
-        out = jax.vmap(lambda d, m: vlad_encode(d, m, centers))(desc, mask)
-        # scalar checksum: fetching it host-side forces the in-order device
-        # queue to drain (on the remote-execution backend in this image
-        # block_until_ready returns before execution completes)
+        return jax.vmap(lambda d, m: vlad_encode(d, m, centers))(desc, mask)
+
+    # All steps run inside ONE jitted loop: the relay in this image costs
+    # ~1 ms per dispatch (serialized, it does not pipeline) plus ~30 ms per
+    # host fetch, which at 25 ms/step would tax the measurement ~4% for
+    # transport that neither a directly-attached chip nor a production
+    # serving queue pays. The returned checksum both prevents dead-code
+    # elimination and drains the device queue when fetched
+    # (block_until_ready is a no-op on this backend; see CLAUDE.md).
+    @jax.jit
+    def encode_steps(imgs, n):
+        def body(i, acc):
+            # isnan(acc) is always 0 at runtime but not provably so at
+            # compile time, so the loop body can't be hoisted as invariant.
+            dep = jnp.isnan(acc).astype(jnp.uint8)
+            return acc + jnp.sum(encode_once(imgs ^ dep))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0))
+
+    @jax.jit
+    def encode(imgs):
+        out = encode_once(imgs)
         return out, jnp.sum(out)
 
-    # Warmup / compile.
-    out, checksum = encode(images)
-    assert float(checksum) == float(checksum)  # fetch = sync
+    # Warmup / compile both graphs; verify shape and that the looped
+    # checksum really is `steps` independent evaluations.
+    out, checksum_1 = encode(images)
     assert out.shape == (batch, 256 * 514)
+    checksum_n = float(encode_steps(images, steps))
+    ratio = checksum_n / float(checksum_1)
+    assert abs(ratio - steps) < 0.01 * steps, (
+        f"loop checksum ratio {ratio} != steps {steps}: loop was optimized out"
+    )
 
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out, checksum = encode(images)
-    float(checksum)  # fetch-synchronize
+    checksum_n = float(encode_steps(images, steps))  # fetch-synchronize
     dt = time.perf_counter() - t0
 
     imgs_per_sec = batch * steps / dt
