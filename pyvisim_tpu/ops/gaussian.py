@@ -29,32 +29,42 @@ def gaussian_kernel1d(sigma: float, kernel_size: int | None = None) -> np.ndarra
     return (k / k.sum()).astype(np.float32)
 
 
+def _band_matrix(k: jnp.ndarray, kernel_size: int, n: int) -> jnp.ndarray:
+    """(n + 2r, n) banded matrix B with B[j+t, j] = k[t]: contracting the
+    padded axis against it is the 1-D correlation. Built on-device from
+    iota comparisons (no multi-MB jit-closure constants; see CLAUDE.md)."""
+    r = (kernel_size - 1) // 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * r, n), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (n + 2 * r, n), 1)
+    acc = jnp.zeros((n + 2 * r, n), jnp.float32)
+    for t in range(kernel_size):
+        acc = acc + jnp.where(rows - cols == t, k[t], 0.0)
+    return acc
+
+
 @partial(jax.jit, static_argnames=("kernel_size", "sigma"))
 def _blur_hw(img: jnp.ndarray, sigma: float, kernel_size: int) -> jnp.ndarray:
     """Blur a (B, H, W) stack along H then W with REFLECT_101 padding
-    (OpenCV's default border mode)."""
+    (OpenCV's default border mode).
+
+    TPU-first formulation: each 1-D correlation is a banded-matrix matmul
+    on the MXU at ``precision="highest"``. A single-channel
+    ``conv_general_dilated`` runs ~9x slower on v5e (K=1 starves the
+    MXU) and its default-precision accumulation is bf16-degraded
+    (~0.4/255 error vs float64; the matmul path is exact to ~2e-5).
+    The ~80x FLOP padding of the band is far cheaper than the
+    VPU-bound conv at every size the pyramid uses.
+    """
     k = jnp.asarray(gaussian_kernel1d(sigma, kernel_size))
     r = (kernel_size - 1) // 2
+    _, h, w = img.shape
 
-    def conv1d(x, axis):
-        # reflect-101 padding: cv2.BORDER_REFLECT_101 == np.pad mode="reflect"
-        pad = [(0, 0)] * x.ndim
-        pad[axis] = (r, r)
-        xp = jnp.pad(x, pad, mode="reflect")
-        # depthwise conv via conv_general_dilated on a singleton channel
-        if axis == 1:
-            lhs = xp[:, None, :, :]  # (B, 1, H+2r, W)
-            rhs = k.reshape(1, 1, kernel_size, 1)
-        else:
-            lhs = xp[:, None, :, :]
-            rhs = k.reshape(1, 1, 1, kernel_size)
-        out = jax.lax.conv_general_dilated(
-            lhs, rhs, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        )
-        return out[:, 0]
-
-    return conv1d(conv1d(img, 1), 2)
+    bh = _band_matrix(k, kernel_size, h)
+    bw = _band_matrix(k, kernel_size, w)
+    xp = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="reflect")
+    y = jnp.einsum("ph,bpw->bhw", bh, xp, precision="highest")
+    yp = jnp.pad(y, ((0, 0), (0, 0), (r, r)), mode="reflect")
+    return jnp.einsum("bhp,pw->bhw", yp, bw, precision="highest")
 
 
 def gaussian_blur_batch(

@@ -125,21 +125,25 @@ def _build_pyramids(base: jnp.ndarray, cfg: SiftConfig):
 # Extrema detection + subpixel refinement
 # ---------------------------------------------------------------------------
 def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
-    """dog: (L+2, H, W) -> bool (L, H, W) for layers 1..L (3x3x3 extrema)."""
+    """dog: (L+2, H, W) -> bool (L, H, W) for layers 1..L (3x3x3 extrema).
+
+    One 3x3x3 max/min ``reduce_window`` pass each: ``center == window_max``
+    is exactly "center >= all 26 neighbors" (ties allowed, like OpenCV's
+    ``>=``). The previous formulation stacked 26 rolled copies of the DoG
+    (~2.6 GB materialized per 1024² octave batch) — pure HBM waste.
+    """
     d = dog
     center = d[1:-1]  # (L, H, W)
-
-    shifts = []
-    for dl in (-1, 0, 1):
-        layer = d[1 + dl : d.shape[0] - 1 + dl]
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dl == 0 and dr == 0 and dc == 0:
-                    continue
-                shifts.append(jnp.roll(layer, (-dr, -dc), axis=(1, 2)))
-    neighbors = jnp.stack(shifts)  # (26, L, H, W)
-    is_max = jnp.all(center >= neighbors, axis=0) & (center > 0)
-    is_min = jnp.all(center <= neighbors, axis=0) & (center < 0)
+    wmax = jax.lax.reduce_window(
+        d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
+    )  # (L, H-2, W-2), aligned with center[:, 1:-1, 1:-1]
+    wmin = jax.lax.reduce_window(
+        d, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "VALID"
+    )
+    wmax = jnp.pad(wmax, ((0, 0), (1, 1), (1, 1)), constant_values=jnp.inf)
+    wmin = jnp.pad(wmin, ((0, 0), (1, 1), (1, 1)), constant_values=-jnp.inf)
+    is_max = (center >= wmax) & (center > 0)
+    is_min = (center <= wmin) & (center < 0)
     mask = (jnp.abs(center) > prelim_thresh) & (is_max | is_min)
     # kill the 5px border (OpenCV SIFT_IMG_BORDER)
     h, w = mask.shape[1:]
@@ -152,9 +156,21 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
 def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftConfig):
     """Iterative quadratic subpixel refinement (OpenCV adjustLocalExtrema).
 
-    dog: (L+2, H, W) in 0..255 scale. cand_layer in [1, L]. Returns dict of
+    dog: (L+2, H, W) in 0..255 scale. cand_layer in [1, L]. Returns tuple of
     per-candidate arrays: layer, r, c (ints), xr, xc, xi (offsets),
     contrast (normalized 0..1 scale), valid.
+
+    TPU-first structure (round 2): the round-1 version re-gathered a 3x3x3
+    cube per candidate per iteration (vmapped ``dynamic_slice``); gather
+    latency made each of the 6 gather rounds cost ~8 ms/img. Instead:
+
+    1. gather ONE (L+2, 13, 13) local patch per candidate — the iteration
+       moves at most ``refine_steps`` (=5) pixels, so every reachable cube
+       lives inside it;
+    2. evaluate all derivative stencils (value, gradient, Hessian) densely
+       over the patch interior with static slices — pure VPU;
+    3. each iteration *selects* its 10 scalars with a one-hot (363,) dot —
+       an MXU matmul, no gathers inside the loop.
     """
     img_scale = 1.0 / 255.0
     deriv_scale = img_scale * 0.5
@@ -162,161 +178,228 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     cross_deriv_scale = img_scale * 0.25
     h, w = dog.shape[1], dog.shape[2]
     n_layers = cfg.n_octave_layers
+    n_total = dog.shape[0]  # L+2
+    reach = cfg.refine_steps  # max pixels moved
+    side = 2 * reach + 3  # patch side: interior +-reach, stencil halo +-1
+    isz = side - 2  # stencil-evaluable interior side
 
-    def refine_one(layer, r, c, valid):
-        def body(_, state):
-            layer, r, c, xr, xc, xi, ok, converged = state
+    # 1) one local patch per candidate from the spatially padded DoG
+    dogp = jnp.pad(dog, ((0, 0), (reach + 1, reach + 1), (reach + 1, reach + 1)))
 
-            cube = jax.lax.dynamic_slice(
-                dog, (layer - 1, r - 1, c - 1), (3, 3, 3)
-            )  # (layer, row, col)
-            dD = (
-                jnp.array(
-                    [
-                        cube[1, 1, 2] - cube[1, 1, 0],  # dx (col)
-                        cube[1, 2, 1] - cube[1, 0, 1],  # dy (row)
-                        cube[2, 1, 1] - cube[0, 1, 1],  # ds (layer)
-                    ]
-                )
-                * deriv_scale
-            )
-            v2 = cube[1, 1, 1] * 2.0
-            dxx = (cube[1, 1, 2] + cube[1, 1, 0] - v2) * second_deriv_scale
-            dyy = (cube[1, 2, 1] + cube[1, 0, 1] - v2) * second_deriv_scale
-            dss = (cube[2, 1, 1] + cube[0, 1, 1] - v2) * second_deriv_scale
-            dxy = (
-                cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0]
-            ) * cross_deriv_scale
-            dxs = (
-                cube[2, 1, 2] - cube[2, 1, 0] - cube[0, 1, 2] + cube[0, 1, 0]
-            ) * cross_deriv_scale
-            dys = (
-                cube[2, 2, 1] - cube[2, 0, 1] - cube[0, 2, 1] + cube[0, 0, 1]
-            ) * cross_deriv_scale
-            H = jnp.array([[dxx, dxy, dxs], [dxy, dyy, dys], [dxs, dys, dss]])
-            X = jnp.linalg.solve(
-                H + 1e-12 * jnp.eye(3), dD
-            )  # solve H X = dD; offset = -X
-            xc_n, xr_n, xi_n = -X[0], -X[1], -X[2]
+    def patch_one(r, c):
+        # patch[l, i, j] = dog[l, r - reach - 1 + i, c - reach - 1 + j]
+        return jax.lax.dynamic_slice(dogp, (0, r, c), (n_total, side, side))
 
-            done = (
-                (jnp.abs(xc_n) < 0.5) & (jnp.abs(xr_n) < 0.5) & (jnp.abs(xi_n) < 0.5)
-            )
-            big = (
-                (jnp.abs(xc_n) > 1e6) | (jnp.abs(xr_n) > 1e6) | (jnp.abs(xi_n) > 1e6)
-            )
-            step_c = jnp.round(xc_n).astype(jnp.int32)
-            step_r = jnp.round(xr_n).astype(jnp.int32)
-            step_l = jnp.round(xi_n).astype(jnp.int32)
-            new_c = c + jnp.where(converged | done, 0, step_c)
-            new_r = r + jnp.where(converged | done, 0, step_r)
-            new_l = layer + jnp.where(converged | done, 0, step_l)
-            inb = (
-                (new_l >= 1)
-                & (new_l <= n_layers)
-                & (new_r >= 5)
-                & (new_r < h - 5)
-                & (new_c >= 5)
-                & (new_c < w - 5)
-            )
-            ok = ok & inb & ~big
-            new_conv = converged | done
-            # keep refined offsets from the iteration that converged
-            xr = jnp.where(converged, xr, xr_n)
-            xc = jnp.where(converged, xc, xc_n)
-            xi = jnp.where(converged, xi, xi_n)
-            return (
-                jnp.clip(new_l, 1, n_layers),
-                jnp.clip(new_r, 1, h - 2),
-                jnp.clip(new_c, 1, w - 2),
-                xr,
-                xc,
-                xi,
-                ok,
-                new_conv,
-            )
+    patches = jax.vmap(patch_one)(cand_r, cand_c)  # (N, L+2, side, side)
 
-        state = (
-            layer,
-            r,
-            c,
-            jnp.float32(0),
-            jnp.float32(0),
-            jnp.float32(0),
-            valid,
-            jnp.bool_(False),
+    # 2) dense stencils over the interior (layers 1..L, spatial halo-1)
+    pc = patches[:, 1:-1, 1:-1, 1:-1]  # center (N, L, isz, isz)
+    east = patches[:, 1:-1, 1:-1, 2:]
+    west = patches[:, 1:-1, 1:-1, :-2]
+    south = patches[:, 1:-1, 2:, 1:-1]
+    north = patches[:, 1:-1, :-2, 1:-1]
+    up = patches[:, 2:, 1:-1, 1:-1]
+    down = patches[:, :-2, 1:-1, 1:-1]
+    v2 = pc * 2.0
+    q = jnp.stack(
+        [
+            pc * img_scale,                                # value
+            (east - west) * deriv_scale,                   # dDx
+            (south - north) * deriv_scale,                 # dDy
+            (up - down) * deriv_scale,                     # dDs
+            (east + west - v2) * second_deriv_scale,       # dxx
+            (south + north - v2) * second_deriv_scale,     # dyy
+            (up + down - v2) * second_deriv_scale,         # dss
+            (
+                patches[:, 1:-1, 2:, 2:]
+                - patches[:, 1:-1, 2:, :-2]
+                - patches[:, 1:-1, :-2, 2:]
+                + patches[:, 1:-1, :-2, :-2]
+            ) * cross_deriv_scale,                         # dxy
+            (
+                patches[:, 2:, 1:-1, 2:]
+                - patches[:, 2:, 1:-1, :-2]
+                - patches[:, :-2, 1:-1, 2:]
+                + patches[:, :-2, 1:-1, :-2]
+            ) * cross_deriv_scale,                         # dxs
+            (
+                patches[:, 2:, 2:, 1:-1]
+                - patches[:, 2:, :-2, 1:-1]
+                - patches[:, :-2, 2:, 1:-1]
+                + patches[:, :-2, :-2, 1:-1]
+            ) * cross_deriv_scale,                         # dys
+        ],
+        axis=1,
+    )  # (N, 10, L, isz, isz)
+    n_cand = q.shape[0]
+    n_pos = n_layers * isz * isz
+    q_flat = q.reshape(n_cand, 10, n_pos)
+
+    center = reach  # local spatial index of the starting pixel in interior
+
+    def select(layer, dr, dc):
+        """10 stencil scalars at local position via one-hot contraction."""
+        idx = (layer - 1) * (isz * isz) + dr * isz + dc
+        onehot = jax.nn.one_hot(idx, n_pos, dtype=q_flat.dtype)  # (N, n_pos)
+        return jnp.einsum(
+            "np,nkp->nk", onehot, q_flat, preferred_element_type=jnp.float32
+        )  # (N, 10)
+
+    def solve3(s):
+        """Closed-form symmetric 3x3 solve H X = dD (adjugate/Cramer).
+        jnp.linalg.solve's pivoted LU, vmapped over thousands of
+        candidates, dominated the whole round-1 SIFT pipeline. Singular H
+        blows the offsets up and the candidate dies on the |x|>1e6 check,
+        matching the solve+reject behavior."""
+        dDx, dDy, dDs = s[:, 1], s[:, 2], s[:, 3]
+        a, d_, f_ = s[:, 4], s[:, 5], s[:, 6]
+        b_, c_, e_ = s[:, 7], s[:, 8], s[:, 9]
+        co00 = d_ * f_ - e_ * e_
+        co01 = c_ * e_ - b_ * f_
+        co02 = b_ * e_ - c_ * d_
+        co11 = a * f_ - c_ * c_
+        co12 = b_ * c_ - a * e_
+        co22 = a * d_ - b_ * b_
+        det = a * co00 + b_ * co01 + c_ * co02
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, 1e-30, det)
+        x0 = (co00 * dDx + co01 * dDy + co02 * dDs) * inv_det
+        x1 = (co01 * dDx + co11 * dDy + co12 * dDs) * inv_det
+        x2 = (co02 * dDx + co12 * dDy + co22 * dDs) * inv_det
+        return -x0, -x1, -x2  # xc, xr, xi
+
+    zeros_f = jnp.zeros((n_cand,), jnp.float32)
+
+    def body(_, state):
+        layer, dr, dc, xr, xc, xi, ok, converged = state
+        s = select(layer, dr, dc)
+        xc_n, xr_n, xi_n = solve3(s)
+
+        done = (
+            (jnp.abs(xc_n) < 0.5) & (jnp.abs(xr_n) < 0.5) & (jnp.abs(xi_n) < 0.5)
         )
-        layer, r, c, xr, xc, xi, ok, converged = jax.lax.fori_loop(
-            0, cfg.refine_steps, body, state
+        big = (
+            (jnp.abs(xc_n) > 1e6) | (jnp.abs(xr_n) > 1e6) | (jnp.abs(xi_n) > 1e6)
         )
-        ok = ok & converged
+        freeze = converged | done
+        step_c = jnp.where(freeze, 0, jnp.round(xc_n).astype(jnp.int32))
+        step_r = jnp.where(freeze, 0, jnp.round(xr_n).astype(jnp.int32))
+        step_l = jnp.where(freeze, 0, jnp.round(xi_n).astype(jnp.int32))
+        new_dc = dc + step_c
+        new_dr = dr + step_r
+        new_l = layer + step_l
+        gr = cand_r + new_dr - center  # absolute image coords
+        gc = cand_c + new_dc - center
+        inb = (
+            (new_l >= 1)
+            & (new_l <= n_layers)
+            & (gr >= 5)
+            & (gr < h - 5)
+            & (gc >= 5)
+            & (gc < w - 5)
+        )
+        # Rounds can step >1 px; anything escaping the +-reach local window
+        # is an unstable extremum — reject rather than chase it (the old
+        # global-coordinate code would keep iterating; such candidates
+        # essentially never survive the contrast/edge gates anyway).
+        in_window = (
+            (new_dr >= 0) & (new_dr <= isz - 1)
+            & (new_dc >= 0) & (new_dc <= isz - 1)
+        )
+        ok = ok & inb & ~big & in_window
+        xr = jnp.where(converged, xr, xr_n)
+        xc = jnp.where(converged, xc, xc_n)
+        xi = jnp.where(converged, xi, xi_n)
+        return (
+            jnp.clip(new_l, 1, n_layers),
+            jnp.clip(new_dr, 0, isz - 1),
+            jnp.clip(new_dc, 0, isz - 1),
+            xr,
+            xc,
+            xi,
+            ok,
+            converged | done,
+        )
 
-        # final contrast + edge checks at the converged location
-        cube = jax.lax.dynamic_slice(dog, (layer - 1, r - 1, c - 1), (3, 3, 3))
-        dD = (
-            jnp.array(
-                [
-                    cube[1, 1, 2] - cube[1, 1, 0],
-                    cube[1, 2, 1] - cube[1, 0, 1],
-                    cube[2, 1, 1] - cube[0, 1, 1],
-                ]
-            )
-            * deriv_scale
-        )
-        contr = cube[1, 1, 1] * img_scale + 0.5 * (
-            dD[0] * xc + dD[1] * xr + dD[2] * xi
-        )
-        ok = ok & (
-            jnp.abs(contr) * n_layers >= cfg.contrast_threshold
-        )
-        v2 = cube[1, 1, 1] * 2.0
-        dxx = (cube[1, 1, 2] + cube[1, 1, 0] - v2) * second_deriv_scale
-        dyy = (cube[1, 2, 1] + cube[1, 0, 1] - v2) * second_deriv_scale
-        dxy = (
-            cube[1, 2, 2] - cube[1, 2, 0] - cube[1, 0, 2] + cube[1, 0, 0]
-        ) * cross_deriv_scale
-        tr = dxx + dyy
-        det = dxx * dyy - dxy * dxy
-        e = cfg.edge_threshold
-        ok = ok & (det > 0) & (tr * tr * e < (e + 1) * (e + 1) * det)
-        return layer, r, c, xr, xc, xi, contr, ok
+    state = (
+        cand_layer,
+        jnp.full((n_cand,), center, jnp.int32),
+        jnp.full((n_cand,), center, jnp.int32),
+        zeros_f,
+        zeros_f,
+        zeros_f,
+        cand_valid,
+        jnp.zeros((n_cand,), bool),
+    )
+    layer, dr, dc, xr, xc, xi, ok, converged = jax.lax.fori_loop(
+        0, cfg.refine_steps, body, state
+    )
+    ok = ok & converged
 
-    return jax.vmap(refine_one)(cand_layer, cand_r, cand_c, cand_valid)
+    # final contrast + edge checks at the converged location
+    s = select(layer, dr, dc)
+    val, dDx, dDy = s[:, 0], s[:, 1], s[:, 2]
+    dDs, dxx, dyy, dxy = s[:, 3], s[:, 4], s[:, 5], s[:, 7]
+    contr = val + 0.5 * (dDx * xc + dDy * xr + dDs * xi)
+    ok = ok & (jnp.abs(contr) * n_layers >= cfg.contrast_threshold)
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    e = cfg.edge_threshold
+    ok = ok & (det > 0) & (tr * tr * e < (e + 1) * (e + 1) * det)
+
+    r_out = cand_r + dr - center
+    c_out = cand_c + dc - center
+    return layer, r_out, c_out, xr, xc, xi, contr, ok
 
 
 # ---------------------------------------------------------------------------
 # Orientation
 # ---------------------------------------------------------------------------
-def _grad_stacks(gauss: jnp.ndarray, pad: int):
-    """Dense per-octave gradient stacks, zero-padded by ``pad`` on H/W.
+def _magang_stacks(gauss: jnp.ndarray, pad: int):
+    """Dense per-octave gradient magnitude/angle stacks, zero-padded by
+    ``pad`` on H/W, fused along a leading channel axis.
 
     OpenCV convention: dx = I[r, c+1] - I[r, c-1]; dy = I[r-1, c] - I[r+1, c]
-    (y-up). Computed once per octave so per-candidate patch extraction is a
-    contiguous ``dynamic_slice`` instead of an element gather — the gathers
-    were the dominant cost of the whole SIFT pipeline on TPU.
+    (y-up); angle = atan2(dy, dx). Computed densely ONCE per octave pixel:
+    per-candidate patch extraction is then a single contiguous
+    ``dynamic_slice`` (element gathers were the dominant round-1 cost, and
+    separate dx/dy arrays cost two gather rounds per candidate plus a
+    sqrt/atan2 over every patch pixel in both the orientation and the
+    descriptor pass).
     """
-    dx = jnp.pad(gauss[:, :, 2:] - gauss[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
-    dy = jnp.pad(gauss[:, :-2, :] - gauss[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
-    widths = ((0, 0), (pad, pad), (pad, pad))
-    return jnp.pad(dx, widths), jnp.pad(dy, widths)
+    # Candidates only ever live on layers 1..L (refinement clips there), so
+    # levels 0 and L+1..L+2 never feed a patch: build mag/ang for the L
+    # addressable levels only. Callers index with ``layer - 1``.
+    g = gauss[1:-2]
+    dx = jnp.pad(g[:, :, 2:] - g[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
+    dy = jnp.pad(g[:, :-2, :] - g[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ang = jnp.arctan2(dy, dx)
+    widths = ((0, 0), (0, 0), (pad, pad), (pad, pad))
+    return jnp.pad(jnp.stack([mag, ang]), widths)  # (2, L, h+2p, w+2p)
 
 
-def _grad_patches(dxs, dys, layer, r, c, radius: int, h: int, w: int, pad: int):
-    """(2R+1, 2R+1) dx/dy patches around (r, c) at ``layer`` via contiguous
-    dynamic slices of the padded gradient stacks, plus the OpenCV
-    border-validity mask (r, c within [1, dim-2])."""
+def _magang_patches(stacks, layer, r, c, radius: int, h, w, pad: int, row_off=0):
+    """(2R+1, 2R+1) magnitude/angle patches around (r, c) at ``layer`` via
+    ONE contiguous dynamic slice of the fused stacks, plus the OpenCV
+    border-validity mask (r, c within [1, dim-2]).
+
+    ``row_off`` relocates the slice into a cross-octave atlas (the stacks
+    of every octave concatenated along rows; see ``_grad_atlas``); ``h``/
+    ``w`` are then the candidate's own octave dims (traced scalars)."""
     p = 2 * radius + 1
-    start = (layer, r - radius + pad, c - radius + pad)
-    dx = jax.lax.dynamic_slice(dxs, start, (1, p, p))[0]
-    dy = jax.lax.dynamic_slice(dys, start, (1, p, p))[0]
+    # stacks hold only the L addressable levels (see _magang_stacks)
+    start = (0, layer - 1, r - radius + pad + row_off, c - radius + pad)
+    both = jax.lax.dynamic_slice(stacks, start, (2, 1, p, p))
+    mag, ang = both[0, 0], both[1, 0]
     off = jnp.arange(-radius, radius + 1)
     rr = r + off[:, None]
     cc = c + off[None, :]
     inb = (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
-    return dx, dy, inb
+    return mag, ang, inb
 
 
-def _orientation(dxs, dys, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig):
+def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig,
+                 row_off=0):
     """Dominant gradient orientation (radians, OpenCV's grad-angle
     convention θ = atan2(dy, dx) with y-up dy). Histogram built as a dense
     (P², 36) one-hot-mix matmul; smoothing is OpenCV's [1,4,6,4,1]/16
@@ -326,15 +409,13 @@ def _orientation(dxs, dys, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConf
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
     R = cfg.ori_patch_radius
 
-    dx, dy, inb = _grad_patches(dxs, dys, layer, r, c, R, h, w, pad)
+    mag, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off)
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None]
     jj = off[None, :]
     in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
     wmask = (inb & in_radius).astype(jnp.float32)
     wgt = jnp.exp((ii * ii + jj * jj) * exp_scale) * wmask
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ang = jnp.arctan2(dy, dx)  # (-pi, pi]
     n_bins = 36
     fbin = ang * (n_bins / (2.0 * jnp.pi))
     bin_idx = jnp.round(fbin).astype(jnp.int32) % n_bins  # OpenCV cvRound
@@ -380,7 +461,8 @@ def _orientation(dxs, dys, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConf
 # ---------------------------------------------------------------------------
 # Descriptor
 # ---------------------------------------------------------------------------
-def _descriptor(dxs, dys, h, w, pad, layer, r, c, scl_oct, theta, valid, cfg: SiftConfig):
+def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
+                cfg: SiftConfig, row_off=0):
     """128-D descriptor, OpenCV calcSIFTDescriptor semantics, built as a
     dense einsum over rank-1 trilinear weight products (no scatter)."""
     d, n = 4, 8
@@ -392,7 +474,7 @@ def _descriptor(dxs, dys, h, w, pad, layer, r, c, scl_oct, theta, valid, cfg: Si
     radius_f = jnp.round(hist_width * 1.4142135623730951 * (d + 1) * 0.5)
     R = cfg.desc_patch_radius
 
-    dx, dy, inb = _grad_patches(dxs, dys, layer, r, c, R, h, w, pad)
+    mag_p, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off)
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None] + jnp.zeros((1, 2 * R + 1))  # row offsets i
     jj = off[None, :] + jnp.zeros((2 * R + 1, 1))  # col offsets j
@@ -411,10 +493,9 @@ def _descriptor(dxs, dys, h, w, pad, layer, r, c, scl_oct, theta, valid, cfg: Si
         & (cbin < d)
     )
 
-    ang = jnp.arctan2(dy, dx)
     obin = (ang - theta) * bins_per_rad  # relative orientation bins
     w = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
-    mag = jnp.sqrt(dx * dx + dy * dy) * w * ok.astype(dx.dtype)
+    mag = mag_p * w * ok.astype(mag_p.dtype)
 
     # trilinear weights as rank-1 products of small dense mixes
     r0 = jnp.floor(rbin)
@@ -479,32 +560,65 @@ def _descriptor(dxs, dys, h, w, pad, layer, r, c, scl_oct, theta, valid, cfg: Si
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
-def _chunked_vmap(fn, args, chunk: int):
+def _chunked_vmap(fn, args, chunk: int, valid=None):
     """vmap ``fn`` over the leading axis, sequentially in chunks via
     ``lax.map`` — bounds the live memory of per-candidate patch pipelines
     (a full vmap would materialize every candidate's patches at once).
-    ``fn`` may return an array or a pytree of arrays."""
+    ``fn`` may return an array or a pytree of arrays.
+
+    ``valid``: optional (k,) bool; chunks with no valid rows short-circuit
+    to zeros via ``lax.cond`` (a REAL runtime skip — this is a sequential
+    map, not a vmap). The candidate budget is a worst-case bound and rows
+    arrive response-sorted (valid first), so on typical photographs most
+    trailing chunks skip and the orientation/descriptor cost tracks the
+    actual keypoint count instead of the budget."""
     k = args[0].shape[0]
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or 1
     n_chunks = k // chunk
     reshaped = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
-    out = jax.lax.map(lambda ch: jax.vmap(fn)(*ch), reshaped)
+    if valid is None:
+        out = jax.lax.map(lambda ch: jax.vmap(fn)(*ch), reshaped)
+    else:
+        v_chunks = valid.reshape(n_chunks, chunk)
+        out_sd = jax.eval_shape(
+            lambda ch: jax.vmap(fn)(*ch), tuple(a[0] for a in reshaped)
+        )
+
+        def run(ch_v):
+            ch, v = ch_v
+            return jax.lax.cond(
+                jnp.any(v),
+                lambda: jax.vmap(fn)(*ch),
+                lambda: jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype), out_sd
+                ),
+            )
+
+        out = jax.lax.map(run, (reshaped, v_chunks))
     return jax.tree_util.tree_map(
         lambda a: a.reshape((k,) + a.shape[2:]), out
     )
 
 
-def _detect_octave(gauss_o, dog_o, budget, cfg: SiftConfig):
-    """Single-image octave detection. gauss_o (L+3, H, W), dog_o (L+2, H, W)
-    -> per-candidate arrays (budget,)."""
+def _detect_octave(dog_o, budget, cfg: SiftConfig):
+    """Single-image octave detection (no orientation/descriptors here).
+    dog_o (L+2, H, W) -> dict of per-candidate arrays (budget,)."""
     prelim = math.floor(0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255)
     mask = _extrema_mask(dog_o, float(max(prelim, 1)))  # (L, H, W)
     score = jnp.abs(dog_o[1:-1]) * mask
-    flat = score.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, budget)
-    l_, hw = jnp.divmod(idx, mask.shape[1] * mask.shape[2])
-    r_, c_ = jnp.divmod(hw, mask.shape[2])
+    n_l, n_h, n_w = score.shape
+    # Hierarchical candidate selection: a flat top_k over the whole octave
+    # (3.1M elements at 1024²) is a large sort; instead take the top-8
+    # per (layer, row) — 3x3x3 extrema are >= 2 px apart, so 8 per 1024-px
+    # row drops only pathological rows, and those by weakest-first — then
+    # rank the ~L*H*8 survivors globally.
+    per_row = min(8, n_w)
+    row_vals, row_idx = jax.lax.top_k(score.reshape(n_l * n_h, n_w), per_row)
+    vals, ii = jax.lax.top_k(row_vals.reshape(-1), budget)
+    row = ii // per_row
+    l_, r_ = jnp.divmod(row, n_h)
+    c_ = row_idx.reshape(-1)[ii]
     valid = vals > 0
     layer = (l_ + 1).astype(jnp.int32)
 
@@ -512,51 +626,48 @@ def _detect_octave(gauss_o, dog_o, budget, cfg: SiftConfig):
         dog_o, layer, r_.astype(jnp.int32), c_.astype(jnp.int32), valid, cfg
     )
     scl_oct = cfg.sigma * 2.0 ** ((layer.astype(jnp.float32) + xi) / cfg.n_octave_layers)
-
-    h, w = gauss_o.shape[1], gauss_o.shape[2]
-    pad = cfg.desc_patch_radius
-    dxs, dys = _grad_stacks(gauss_o, pad)
-
-    theta, theta2, has_second = _chunked_vmap(
-        lambda l, rr, cc, s, v: _orientation(
-            dxs, dys, h, w, pad, l, rr, cc, s, v, cfg
-        ),
-        (layer, r, c, scl_oct, ok),
-        chunk=min(cfg.ori_chunk, budget),
-    )
-
-    def describe(thetas, valids):
-        return _chunked_vmap(
-            lambda l, rr, cc, s, t, v: _descriptor(
-                dxs, dys, h, w, pad, l, rr, cc, s, t, v, cfg
-            ),
-            (layer, r, c, scl_oct, thetas, valids),
-            chunk=min(cfg.desc_chunk, budget),
-        )
-
-    common = {
-        "r": r.astype(jnp.float32) + xr,
-        "c": c.astype(jnp.float32) + xc,
+    return {
+        "layer": layer,
+        "r": r,
+        "c": c,
+        "xr": xr,
+        "xc": xc,
+        "xi": xi,
         "scl_oct": scl_oct,
-    }
-    out = {
-        "desc": describe(theta, ok),
         "response": jnp.where(ok, jnp.abs(contr), -1.0),
         "valid": ok,
-        "theta": theta,
-        **common,
     }
-    if cfg.multi_orientation:
-        ok2 = ok & has_second
-        out2 = {
-            "desc": describe(theta2, ok2),
-            "response": jnp.where(ok2, jnp.abs(contr), -1.0),
-            "valid": ok2,
-            "theta": theta2,
-            **common,
-        }
-        out = {k: jnp.concatenate([out[k], out2[k]], axis=0) for k in out}
-    return out
+
+
+def _atlas_layout(cfg: SiftConfig):
+    """Static (row_offsets, heights, widths) of the cross-octave atlas."""
+    pad = cfg.desc_patch_radius
+    offsets, heights, widths = [], [], []
+    off = 0
+    for o in range(cfg.n_octaves):
+        h = w = cfg.base_size >> o
+        offsets.append(off)
+        heights.append(h)
+        widths.append(w)
+        off += h + 2 * pad
+    return np.asarray(offsets), np.asarray(heights), np.asarray(widths)
+
+
+def _grad_atlas(gauss_octaves, cfg: SiftConfig):
+    """Concatenate every octave's padded mag/angle stacks along rows into a
+    single (2, L+3, H_total, W_max) atlas (single image), so one
+    orientation / descriptor pass can serve candidates from ALL octaves
+    (the retained global top-k) instead of one chunked pass per octave.
+    Candidates address the atlas at ``r + row_offsets[octave]`` (plus
+    ``pad``)."""
+    pad = cfg.desc_patch_radius
+    w_max = gauss_octaves[0].shape[-1] + 2 * pad
+    blocks = []
+    for g in gauss_octaves:
+        stacks = _magang_stacks(g, pad)  # (2, L+3, h+2p, w+2p)
+        extra = w_max - stacks.shape[-1]
+        blocks.append(jnp.pad(stacks, ((0, 0), (0, 0), (0, 0), (0, extra))))
+    return jnp.concatenate(blocks, axis=-2)
 
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:
@@ -577,7 +688,16 @@ def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
-    """base_batch: (B, S, S) float 0..255 letterboxed grayscale."""
+    """base_batch: (B, S, S) float 0..255 letterboxed grayscale.
+
+    Round-2 pipeline (retain-then-describe, the same order OpenCV's
+    ``retainBest`` implies): detect+refine per octave -> merge candidates
+    from all octaves -> keep the global top ``max_keypoints`` by response
+    -> ONE orientation pass and ONE descriptor pass over the survivors,
+    against a cross-octave gradient atlas. The round-1 code oriented and
+    described every per-octave candidate (~8k descriptor evaluations per
+    image for a 2,048 budget) before ranking.
+    """
     # initial blur to cfg.sigma (assumed input blur 0.5, doubled by upscale)
     if cfg.upscale:
         b, s, _ = base_batch.shape
@@ -590,39 +710,110 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
 
     gauss, dog = _build_pyramids(base, cfg)
 
+    # 1) detection per octave, tagged with the octave id
     per_octave = []
     for o in range(cfg.n_octaves):
         budget = cfg.octave_budget(o)
-        out = jax.vmap(lambda g, d: _detect_octave(g, d, budget, cfg))(
-            gauss[o], dog[o]
-        )
-        # positions back to process_size coordinates
-        scale = (2.0**o) / (2.0 if cfg.upscale else 1.0)
-        out["x"] = out.pop("c") * scale
-        out["y"] = out.pop("r") * scale
-        out["size"] = out.pop("scl_oct") * scale * 2.0
+        out = jax.vmap(lambda d: _detect_octave(d, budget, cfg))(dog[o])
+        out["octave"] = jnp.full(out["r"].shape, o, jnp.int32)
         per_octave.append(out)
-
     merged = {
         k: jnp.concatenate([p[k] for p in per_octave], axis=1)
         for k in per_octave[0]
     }
-    # global top max_keypoints by response
-    resp = jnp.where(merged["valid"], merged["response"], -1.0)
-    k = min(cfg.max_keypoints, resp.shape[1])
-    _, top_idx = jax.lax.top_k(resp, k)
 
-    def take(a):
-        return jnp.take_along_axis(
-            a, top_idx.reshape(top_idx.shape + (1,) * (a.ndim - 2)), axis=1
+    # 2) retain the global top-k candidates by response
+    k = min(cfg.max_keypoints, merged["response"].shape[1])
+    _, top_idx = jax.lax.top_k(merged["response"], k)
+    cand = {
+        name: jnp.take_along_axis(v, top_idx, axis=1)
+        for name, v in merged.items()
+    }
+
+    # 3) one orientation pass over the retained candidates (atlas-based)
+    offsets_np, heights_np, widths_np = _atlas_layout(cfg)
+    offsets = jnp.asarray(offsets_np, jnp.int32)
+    heights = jnp.asarray(heights_np, jnp.int32)
+    widths = jnp.asarray(widths_np, jnp.int32)
+    pad = cfg.desc_patch_radius
+
+    def orient_image(atlas, cand_im):
+        row_off = offsets[cand_im["octave"]]
+        hh = heights[cand_im["octave"]]
+        ww = widths[cand_im["octave"]]
+        return _chunked_vmap(
+            lambda l, rr, cc, s, v, ro, h_, w_: _orientation(
+                atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro
+            ),
+            (
+                cand_im["layer"], cand_im["r"], cand_im["c"],
+                cand_im["scl_oct"], cand_im["valid"], row_off, hh, ww,
+            ),
+            chunk=min(cfg.ori_chunk, k),
+            valid=cand_im["valid"],
         )
 
-    out = {name: take(v) for name, v in merged.items()}
-    out["mask"] = out.pop("valid").astype(jnp.float32)
+    atlas = jax.vmap(lambda *gs: _grad_atlas(gs, cfg))(*gauss)
+    theta, theta2, has_second = jax.vmap(orient_image)(atlas, cand)
+
+    # 4) secondary-orientation duplicates, re-ranked into the same budget
+    if cfg.multi_orientation:
+        dup = dict(cand)
+        dup["valid"] = cand["valid"] & has_second
+        dup["response"] = jnp.where(dup["valid"], cand["response"], -1.0)
+        rows = {
+            name: jnp.concatenate([cand[name], dup[name]], axis=1)
+            for name in cand
+        }
+        rows["theta"] = jnp.concatenate([theta, theta2], axis=1)
+        _, top2 = jax.lax.top_k(
+            jnp.where(rows["valid"], rows["response"], -1.0), k
+        )
+        rows = {
+            name: jnp.take_along_axis(v, top2, axis=1)
+            for name, v in rows.items()
+        }
+    else:
+        rows = dict(cand)
+        rows["theta"] = theta
+
+    # 5) one descriptor pass over the final rows
+    def describe_image(atlas_im, rows_im):
+        row_off = offsets[rows_im["octave"]]
+        hh = heights[rows_im["octave"]]
+        ww = widths[rows_im["octave"]]
+        return _chunked_vmap(
+            lambda l, rr, cc, s, t, v, ro, h_, w_: _descriptor(
+                atlas_im, h_, w_, pad, l, rr, cc, s, t, v, cfg, ro
+            ),
+            (
+                rows_im["layer"], rows_im["r"], rows_im["c"],
+                rows_im["scl_oct"], rows_im["theta"], rows_im["valid"],
+                row_off, hh, ww,
+            ),
+            chunk=min(cfg.desc_chunk, k),
+            valid=rows_im["valid"],
+        )
+
+    desc = jax.vmap(describe_image)(atlas, rows)
+
+    # 6) outputs in process_size coordinates
+    scale = (2.0 ** rows["octave"].astype(jnp.float32)) / (
+        2.0 if cfg.upscale else 1.0
+    )
+    out = {
+        "desc": desc,
+        "x": (rows["c"].astype(jnp.float32) + rows["xc"]) * scale,
+        "y": (rows["r"].astype(jnp.float32) + rows["xr"]) * scale,
+        "size": rows["scl_oct"] * scale * 2.0,
+        "theta": rows["theta"],
+        "response": rows["response"],
+        "mask": rows["valid"].astype(jnp.float32),
+    }
     if k < cfg.max_keypoints:
-        pad = cfg.max_keypoints - k
+        padn = cfg.max_keypoints - k
         out = {
-            name: jnp.pad(v, ((0, 0), (0, pad)) + ((0, 0),) * (v.ndim - 2))
+            name: jnp.pad(v, ((0, 0), (0, padn)) + ((0, 0),) * (v.ndim - 2))
             for name, v in out.items()
         }
     return out
