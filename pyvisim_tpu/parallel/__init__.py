@@ -1,8 +1,11 @@
 """Multi-chip parallelism: device meshes, sharded encode/similarity, and
 distributed vocabulary/Siamese training (the reference has no distributed
 runtime; SURVEY.md §2)."""
+from .distributed import init_distributed, make_hybrid_mesh, plan_hybrid_mesh
 from .mesh import NamedSharding, P, data_sharding, make_mesh, replicated
 from .sharded import (
+    cluster_sharded_fisher_encode,
+    cluster_sharded_vlad_encode,
     distributed_gmm_fit,
     distributed_kmeans_fit,
     pad_to_multiple,
@@ -12,6 +15,9 @@ from .sharded import (
 from .train import make_sharded_trainer, shard_train_state
 
 __all__ = [
+    "init_distributed",
+    "plan_hybrid_mesh",
+    "make_hybrid_mesh",
     "make_mesh",
     "data_sharding",
     "replicated",
@@ -20,6 +26,8 @@ __all__ = [
     "pad_to_multiple",
     "sharded_cosine_similarity",
     "sharded_encode",
+    "cluster_sharded_vlad_encode",
+    "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",
     "distributed_gmm_fit",
     "make_sharded_trainer",

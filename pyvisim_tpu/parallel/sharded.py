@@ -25,12 +25,15 @@ from jax import shard_map
 from ..ops.assign import pairwise_sqdist
 from ..ops.codebooks import GmmCodebook, KMeansCodebook
 from ..ops.gmm import _init_from_kmeans, gmm_log_prob
+from ..ops.norms import lp_normalize, power_normalize
 from .mesh import data_sharding, replicated
 
 __all__ = [
     "pad_to_multiple",
     "sharded_cosine_similarity",
     "sharded_encode",
+    "cluster_sharded_vlad_encode",
+    "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",
     "distributed_gmm_fit",
 ]
@@ -91,20 +94,229 @@ def sharded_encode(encode_fn, desc, mask, clustering_model, pca, mesh: Mesh):
 
 
 # ---------------------------------------------------------------------------
+# Cluster-axis (EP-analog) sharded encode: each device owns K/devices
+# centroids / mixture components and computes the (K_local, D) residual /
+# posterior-stat blocks only for its clusters. The global pieces the K axis
+# cannot compute locally — the hard-assignment argmin (VLAD) and the
+# posterior logsumexp (FV) — are recovered with O(B*N) pmin/pmax/psum
+# collectives over 'cluster', which ride ICI. This is how multi-chip helps
+# *encode* (not just train): the K*D state and the (N, K) score block are
+# both split K-ways. Reference capability anchor: the per-cluster residual
+# loop at pyvisim/encoders/vlad.py:102-104 and the posterior statistics at
+# pyvisim/encoders/fisher_vector.py:99-114.
+# ---------------------------------------------------------------------------
+def _require_axes(mesh: Mesh):
+    if "data" not in mesh.axis_names or "cluster" not in mesh.axis_names:
+        raise ValueError(
+            f"mesh axes {mesh.axis_names} must include 'data' and 'cluster' "
+            "(use make_mesh(n, axis_names=('data', 'cluster'), shape=(a, b)))"
+        )
+
+
+def cluster_sharded_vlad_encode(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    centers: jnp.ndarray,
+    mesh: Mesh,
+    *,
+    power_norm_weight: float = 1.0,
+    norm_order: float = 2.0,
+    epsilon: float = 1e-9,
+    flatten: bool = True,
+) -> jnp.ndarray:
+    """VLAD encode with images sharded over 'data' AND the K centroid axis
+    sharded over 'cluster' (the EP analog).
+
+    Each device scores its batch shard against only its K/devices centroids;
+    the *global* hard assignment is reconstructed from two pmin collectives
+    (min distance, then lowest-index tie-break — exactly argmin semantics),
+    after which the (K_local, D) residual block is a local matmul. Matches
+    ``ops.vlad.vlad_encode_batch`` bit-for-bit up to float association.
+
+    :param desc: ``(B, N, D)`` descriptor sets.
+    :param mask: ``(B, N)`` validity mask (or None).
+    :param centers: ``(K, D)`` codebook; K must divide by mesh.shape['cluster'].
+    """
+    _require_axes(mesh)
+    n_clu = mesh.shape["cluster"]
+    k = centers.shape[0]
+    if k % n_clu != 0:
+        raise ValueError(f"K={k} not divisible by cluster axis size {n_clu}")
+    k_local = k // n_clu
+
+    desc = jnp.asarray(desc)
+    if mask is None:
+        mask = jnp.ones(desc.shape[:2], desc.dtype)
+    desc, b = pad_to_multiple(desc, mesh.shape["data"])
+    mask, _ = pad_to_multiple(jnp.asarray(mask, desc.dtype), mesh.shape["data"])
+
+    def local_blocks(d, m, c_local):
+        # d (B_l, N, D), m (B_l, N), c_local (K_local, D)
+        bl, n, dim = d.shape
+        d2 = pairwise_sqdist(d.reshape(bl * n, dim), c_local).reshape(bl, n, k_local)
+        local_min = jnp.min(d2, axis=-1)
+        local_arg = jnp.argmin(d2, axis=-1).astype(jnp.int32)
+        offset = jax.lax.axis_index("cluster").astype(jnp.int32) * k_local
+        global_min = jax.lax.pmin(local_min, "cluster")
+        cand = jnp.where(local_min == global_min, local_arg + offset, jnp.int32(k))
+        global_arg = jax.lax.pmin(cand, "cluster")  # lowest index wins ties
+        local_idx = global_arg - offset
+        mine = (local_idx >= 0) & (local_idx < k_local)
+        # one_hot of an out-of-range index is an all-zero row.
+        a = jax.nn.one_hot(jnp.where(mine, local_idx, -1), k_local, dtype=d.dtype)
+        a = a * m[..., None]
+        sums = jnp.einsum(
+            "bnk,bnd->bkd", a, d, preferred_element_type=jnp.float32
+        )
+        counts = jnp.sum(a, axis=1)  # (B_l, K_local)
+        return sums - counts[..., None] * c_local[None]
+
+    v = shard_map(
+        local_blocks,
+        mesh=mesh,
+        in_specs=(P("data", None, None), P("data", None), P("cluster", None)),
+        out_specs=P("data", "cluster", None),
+    )(desc, mask, centers)[:b]
+
+    v = power_normalize(v, power_norm_weight)
+    v = lp_normalize(v, ord=norm_order, axis=-1, epsilon=epsilon)  # per-row: local
+    return v.reshape(v.shape[0], -1) if flatten else v
+
+
+def cluster_sharded_fisher_encode(
+    desc: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    gmm: GmmCodebook,
+    mesh: Mesh,
+    *,
+    power_norm_weight: float = 0.5,
+    norm_order: float = 2.0,
+    epsilon: float = 1e-9,
+) -> jnp.ndarray:
+    """Fisher Vector encode with images sharded over 'data' AND the K
+    component axis sharded over 'cluster'.
+
+    The posterior softmax needs a global normalizer over all K components;
+    it is recovered with a pmax (stable shift) + psum (partition function)
+    over 'cluster', after which the three sufficient-statistic matmuls and
+    the gradient/Fisher-normalization algebra are local to each device's
+    (K_local, D) block. The final power + global-L2 normalization runs on
+    the gathered vector (XLA inserts the reduction collective).
+
+    Matches ``ops.fisher.fisher_encode_batch`` to float32 tolerance.
+    """
+    _require_axes(mesh)
+    n_clu = mesh.shape["cluster"]
+    k = gmm.means.shape[0]
+    if k % n_clu != 0:
+        raise ValueError(f"K={k} not divisible by cluster axis size {n_clu}")
+    k_local = k // n_clu
+
+    desc = jnp.asarray(desc)
+    if mask is None:
+        mask = jnp.ones(desc.shape[:2], desc.dtype)
+    desc, b = pad_to_multiple(desc, mesh.shape["data"])
+    mask, _ = pad_to_multiple(jnp.asarray(mask, desc.dtype), mesh.shape["data"])
+
+    def local_blocks(d, m, w_l, mu_l, cov_l):
+        # d (B_l, N, D); w_l (K_local,), mu_l/cov_l (K_local, D)
+        bl, n, dim = d.shape
+        gmm_l = GmmCodebook(weights=w_l, means=mu_l, covariances=cov_l)
+        wlp = gmm_log_prob(d.reshape(bl * n, dim), gmm_l).reshape(bl, n, k_local)
+        local_max = jnp.max(wlp, axis=-1)
+        gmax = jax.lax.pmax(local_max, "cluster")
+        ex = jnp.exp(wlp - gmax[..., None])
+        denom = jax.lax.psum(jnp.sum(ex, axis=-1), "cluster")  # (B_l, N)
+        resp = ex / denom[..., None] * m[..., None]  # (B_l, N, K_local)
+        n_valid = jnp.maximum(jnp.sum(m, axis=1), 1.0)  # (B_l,)
+        s0 = jnp.sum(resp, axis=1) / n_valid[:, None]
+        s1 = (
+            jnp.einsum("bnk,bnd->bkd", resp, d, preferred_element_type=jnp.float32)
+            / n_valid[:, None, None]
+        )
+        s2 = (
+            jnp.einsum(
+                "bnk,bnd->bkd", resp, d * d, preferred_element_type=jnp.float32
+            )
+            / n_valid[:, None, None]
+        )
+        # Reference gradient algebra incl. the sign-flipped d_sigma
+        # (see ops/fisher.py docstring) — purely per-component, so local.
+        d_pi = s0 - w_l
+        d_mu = s1 - s0[..., None] * mu_l
+        d_sigma = (
+            -s2 - s0[..., None] * mu_l**2 + s0[..., None] * cov_l + 2.0 * s1 * mu_l
+        )
+        sqrt_w = jnp.sqrt(w_l)
+        d_pi = d_pi / sqrt_w
+        d_mu = d_mu / (sqrt_w[:, None] * jnp.sqrt(cov_l))
+        d_sigma = d_sigma / (jnp.sqrt(jnp.float32(2.0)) * sqrt_w[:, None] * cov_l)
+        return d_pi, d_mu, d_sigma
+
+    d_pi, d_mu, d_sigma = shard_map(
+        local_blocks,
+        mesh=mesh,
+        in_specs=(
+            P("data", None, None),
+            P("data", None),
+            P("cluster"),
+            P("cluster", None),
+            P("cluster", None),
+        ),
+        out_specs=(
+            P("data", "cluster"),
+            P("data", "cluster", None),
+            P("data", "cluster", None),
+        ),
+    )(desc, mask, gmm.weights, gmm.means, gmm.covariances)
+
+    bsz = d_pi.shape[0]
+    v = jnp.concatenate(
+        [d_pi, d_mu.reshape(bsz, -1), d_sigma.reshape(bsz, -1)], axis=1
+    )[:b]
+    v = power_normalize(v, power_norm_weight)
+    return lp_normalize(v, ord=norm_order, axis=-1, epsilon=epsilon)
+
+
+# ---------------------------------------------------------------------------
 # Distributed vocabulary training: explicit psum-reduced sufficient stats
 # ---------------------------------------------------------------------------
 def _lloyd_stats_local(x, mask, centers):
-    """Per-shard Lloyd sufficient statistics, psum-reduced over 'data'."""
+    """Per-shard Lloyd sufficient statistics, psum-reduced over 'data'.
+
+    Also returns each device's farthest point (by distance to its assigned
+    center) as a 'data'-sharded (1, D) row — together an (n_dev, D)
+    candidate pool for sklearn-style empty-cluster relocation in the
+    (replicated) M-step.
+    """
     d2 = pairwise_sqdist(x, centers)
     labels = jnp.argmin(d2, axis=1)
     one_hot = jax.nn.one_hot(labels, centers.shape[0], dtype=x.dtype) * mask[:, None]
     sums = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32)
     counts = jnp.sum(one_hot, axis=0)
-    inertia = jnp.sum(jnp.min(d2, axis=1) * mask)
+    point_cost = jnp.min(d2, axis=1) * mask
+    inertia = jnp.sum(point_cost)
+    far_i = jnp.argmax(point_cost)
+    cand_pts = x[far_i][None]  # (1, D) per device
+    cand_vals = point_cost[far_i][None]  # (1,) per device
     sums = jax.lax.psum(sums, "data")
     counts = jax.lax.psum(counts, "data")
     inertia = jax.lax.psum(inertia, "data")
-    return sums, counts, inertia
+    return sums, counts, inertia, cand_pts, cand_vals
+
+
+def _relocate_empty(centers, means, counts, cand_pts, cand_vals):
+    """sklearn-style empty-cluster handling: send empty clusters to the
+    highest-cost points available (one candidate per device per iteration;
+    deeper degeneracies resolve over subsequent iterations)."""
+    empty = counts <= 0
+    order = jnp.argsort(-cand_vals)
+    cand_sorted = cand_pts[order]
+    rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # per-empty ordinal
+    n_cand = cand_pts.shape[0]
+    take = empty & (rank < n_cand)
+    picked = cand_sorted[jnp.clip(rank, 0, n_cand - 1)]
+    return jnp.where(take[:, None], picked, means)
 
 
 def distributed_kmeans_fit(
@@ -115,14 +327,23 @@ def distributed_kmeans_fit(
     mask: jnp.ndarray | None = None,
     n_iters: int = 50,
     seed: int = 0,
+    n_init: int = 1,
+    init_centers: jnp.ndarray | None = None,
 ) -> tuple[KMeansCodebook, float]:
     """K-Means with descriptor rows sharded over the mesh's 'data' axis.
 
     Each device computes (K, D) partial sums/counts for its shard of the
     descriptors; a ``psum`` over 'data' produces the global M-step. Centers
-    are replicated. This is the scaling path for vocabularies learned from
-    millions of descriptors (reference equivalent: the all-in-RAM
-    ``np.vstack`` + sklearn fit at _base_encoder.py:320-341).
+    are replicated. Empty clusters are relocated sklearn-style to the
+    highest-cost points (one candidate per device per iteration), and
+    ``n_init`` re-seedings keep the best-inertia result — so a degenerate
+    init cannot silently pin a center forever. This is the scaling path for
+    vocabularies learned from millions of descriptors (reference
+    equivalent: the all-in-RAM ``np.vstack`` + sklearn fit at
+    _base_encoder.py:320-341).
+
+    :param init_centers: optional explicit ``(K, D)`` seeding (overrides
+        k-means++ and forces ``n_init=1``) — mainly for tests.
     """
     x = jnp.asarray(x, jnp.float32)
     if mask is None:
@@ -131,39 +352,55 @@ def distributed_kmeans_fit(
     x, _ = pad_to_multiple(x, n_dev)
     mask, _ = pad_to_multiple(jnp.asarray(mask, jnp.float32), n_dev)
 
-    # Seed centers host-side from a subsample (cheap, deterministic).
-    key = jax.random.PRNGKey(seed)
-    idx = jax.random.choice(
-        key, x.shape[0], shape=(min(4096, x.shape[0]),), replace=False,
-        p=mask / jnp.sum(mask),
-    )
     from ..ops.kmeans import kmeans_plus_plus_init
-
-    centers0 = kmeans_plus_plus_init(
-        key, x[idx], n_clusters, jnp.ones((idx.shape[0],), jnp.float32)
-    )
 
     stats = shard_map(
         _lloyd_stats_local,
         mesh=mesh,
         in_specs=(P("data", None), P("data"), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P("data", None), P("data")),
     )
 
     @jax.jit
     def run(centers):
         def body(_, carry):
             centers, _ = carry
-            sums, counts, inertia = stats(x, mask, centers)
-            new_centers = jnp.where(
-                counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), centers
+            sums, counts, inertia, cand_pts, cand_vals = stats(x, mask, centers)
+            means = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts[:, None], 1.0),
+                centers,
             )
+            new_centers = _relocate_empty(centers, means, counts, cand_pts, cand_vals)
             return new_centers, inertia
 
         return jax.lax.fori_loop(0, n_iters, body, (centers, jnp.float32(0.0)))
 
-    centers, inertia = run(centers0)
-    return KMeansCodebook(centers=centers), float(inertia)
+    def seed_centers(i):
+        # Seed host-side from a masked subsample (cheap, deterministic).
+        key = jax.random.PRNGKey(seed + i)
+        idx = jax.random.choice(
+            key, x.shape[0], shape=(min(4096, x.shape[0]),), replace=False,
+            p=mask / jnp.sum(mask),
+        )
+        return kmeans_plus_plus_init(
+            key, x[idx], n_clusters, jnp.ones((idx.shape[0],), jnp.float32)
+        )
+
+    if init_centers is not None:
+        n_init = 1
+    best: tuple | None = None
+    for i in range(n_init):
+        centers0 = (
+            jnp.asarray(init_centers, jnp.float32)
+            if init_centers is not None
+            else seed_centers(i)
+        )
+        centers, inertia = run(centers0)
+        inertia = float(inertia)
+        if best is None or inertia < best[1]:
+            best = (centers, inertia)
+    return KMeansCodebook(centers=best[0]), best[1]
 
 
 def _gmm_stats_local(x, mask, gmm: GmmCodebook):

@@ -123,3 +123,138 @@ def test_arcface_train_step(mesh, rng):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Cluster-axis (EP-analog) sharding: K split over 'cluster', batch over 'data'
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def dc_mesh():
+    return make_mesh(8, axis_names=("data", "cluster"), shape=(2, 4))
+
+
+def test_cluster_sharded_vlad_matches_replicated(dc_mesh, rng):
+    from pyvisim_tpu.ops.vlad import vlad_encode_batch
+    from pyvisim_tpu.parallel import cluster_sharded_vlad_encode
+
+    k, d = 16, 12
+    centers = rng.normal(size=(k, d)).astype(np.float32)
+    desc = rng.normal(size=(5, 60, d)).astype(np.float32)  # B=5: pad path
+    mask = (rng.random((5, 60)) > 0.2).astype(np.float32)
+    mask[3] = 0.0  # an all-masked image must encode to zeros on both paths
+
+    got = np.asarray(
+        cluster_sharded_vlad_encode(desc, mask, jnp.asarray(centers), dc_mesh)
+    )
+    want = np.asarray(vlad_encode_batch(jnp.asarray(desc), jnp.asarray(mask),
+                                        jnp.asarray(centers)))
+    assert got.shape == want.shape == (5, k * d)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    assert np.all(got[3] == 0.0)
+
+
+def test_cluster_sharded_vlad_unflattened_and_bad_mesh(dc_mesh, rng):
+    from pyvisim_tpu.parallel import cluster_sharded_vlad_encode
+
+    centers = rng.normal(size=(8, 4)).astype(np.float32)
+    desc = rng.normal(size=(2, 10, 4)).astype(np.float32)
+    out = cluster_sharded_vlad_encode(desc, None, jnp.asarray(centers), dc_mesh,
+                                      flatten=False)
+    assert out.shape == (2, 8, 4)
+    data_only = make_mesh(8, axis_names=("data",))
+    with pytest.raises(ValueError, match="cluster"):
+        cluster_sharded_vlad_encode(desc, None, jnp.asarray(centers), data_only)
+    with pytest.raises(ValueError, match="divisible"):
+        cluster_sharded_vlad_encode(
+            desc, None, jnp.asarray(centers[:6]), dc_mesh
+        )
+
+
+def test_cluster_sharded_fisher_matches_replicated(dc_mesh, rng):
+    from pyvisim_tpu.ops.fisher import fisher_encode_batch
+    from pyvisim_tpu.parallel import cluster_sharded_fisher_encode
+
+    k, d = 8, 6
+    w = rng.random(k).astype(np.float32) + 0.1
+    gmm = GmmCodebook(
+        weights=jnp.asarray(w / w.sum()),
+        means=jnp.asarray(rng.normal(size=(k, d)).astype(np.float32)),
+        covariances=jnp.asarray(
+            (rng.random((k, d)) * 0.5 + 0.5).astype(np.float32)
+        ),
+    )
+    desc = rng.normal(size=(3, 40, d)).astype(np.float32)
+    mask = (rng.random((3, 40)) > 0.3).astype(np.float32)
+
+    got = np.asarray(cluster_sharded_fisher_encode(desc, mask, gmm, dc_mesh))
+    want = np.asarray(fisher_encode_batch(jnp.asarray(desc), jnp.asarray(mask), gmm))
+    assert got.shape == want.shape == (3, 2 * k * d + k)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_distributed_kmeans_relocates_empty_clusters(mesh, rng):
+    """A degenerate init (one center far from all data) must not pin that
+    center forever: the empty cluster is relocated to a high-cost point
+    (VERDICT round-1 weak #7)."""
+    true_centers = np.array([[0.0] * 8, [10.0] * 8, [20.0] * 8, [30.0] * 8],
+                            np.float32)
+    labels = rng.integers(0, 4, size=400)
+    x = (true_centers[labels] + rng.normal(scale=0.3, size=(400, 8))).astype(
+        np.float32
+    )
+    bad_init = np.array(
+        [[0.0] * 8, [10.0] * 8, [15.0] * 8, [1e6] * 8], np.float32
+    )  # last center unreachable -> empty every iteration without relocation
+    cb, inertia = distributed_kmeans_fit(
+        x, 4, mesh, n_iters=30, init_centers=jnp.asarray(bad_init)
+    )
+    centers = np.asarray(cb.centers)
+    assert np.abs(centers).max() < 1e3, "degenerate center was never relocated"
+    got = np.sort(centers, axis=0)
+    np.testing.assert_allclose(got, np.sort(true_centers, axis=0), atol=0.5)
+
+
+def test_distributed_kmeans_n_init_picks_best(mesh, rng):
+    x = rng.normal(size=(320, 8)).astype(np.float32)
+    _, single = distributed_kmeans_fit(x, 6, mesh, n_iters=15, seed=3)
+    _, multi = distributed_kmeans_fit(x, 6, mesh, n_iters=15, seed=3, n_init=4)
+    assert multi <= single + 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Multi-host scaffolding (planning logic only; no multi-host hardware here)
+# ---------------------------------------------------------------------------
+def test_plan_hybrid_mesh_shapes():
+    from pyvisim_tpu.parallel import plan_hybrid_mesh
+
+    # 4 hosts x 8 chips, TP=4 within host: data = 4 hosts * 2 leftover chips
+    ici, dcn = plan_hybrid_mesh(4, 8, ("data", "model"), (4,))
+    assert ici == (2, 4) and dcn == (4, 1)
+    # default: all local chips on axis 1
+    ici, dcn = plan_hybrid_mesh(2, 8, ("data", "cluster"))
+    assert ici == (1, 8) and dcn == (2, 1)
+    # data-only mesh
+    ici, dcn = plan_hybrid_mesh(16, 4, ("data",))
+    assert ici == (4,) and dcn == (16,)
+    with pytest.raises(ValueError, match="chips"):
+        plan_hybrid_mesh(2, 8, ("data", "model"), (3,))
+    with pytest.raises(ValueError, match="must size"):
+        plan_hybrid_mesh(2, 8, ("data", "model", "cluster"), (2,))
+
+
+def test_make_hybrid_mesh_single_process_collapses():
+    from pyvisim_tpu.parallel import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(("data", "cluster"), (4,))
+    assert mesh.shape == {"data": 2, "cluster": 4}
+    mesh = make_hybrid_mesh(("data",))
+    assert mesh.shape == {"data": 8}
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    from pyvisim_tpu.parallel import init_distributed
+
+    monkeypatch.delenv("PYVISIM_COORDINATOR", raising=False)
+    monkeypatch.delenv("PYVISIM_NUM_PROCESSES", raising=False)
+    assert init_distributed() is False
+    assert init_distributed(num_processes=1) is False
