@@ -387,8 +387,54 @@ def get_statistics(x: np.ndarray, y: np.ndarray) -> Statistics:
 
 
 # ---------------------------------------------------------------------------
-# Plotting (parity: _utils.py:364-536, 586-790, 908-919)
+# Plotting. API-compatible with the reference's plot helpers
+# (capability anchor: _utils.py:364-536, 586-790, 908-919) but written
+# against matplotlib's object-oriented interface with shared figure
+# lifecycle helpers — signatures and semantics match, the rendering code
+# is original.
 # ---------------------------------------------------------------------------
+def _fig_axes(figsize):
+    """One (fig, ax) pair per plot call; never touches pyplot global state
+    beyond figure creation."""
+    import matplotlib.pyplot as plt
+
+    return plt.subplots(figsize=figsize)
+
+
+def _finalize_plot(fig, ax, *, title, x_label, y_label, save, show,
+                   legend=False):
+    """Shared tail of every plot helper: labels, optional legend, save
+    (before show, so the file exists even under non-interactive backends),
+    then close to keep long-running processes leak-free."""
+    import matplotlib.pyplot as plt
+
+    ax.set_title(title)
+    if x_label is not None:
+        ax.set_xlabel(x_label)
+    if y_label is not None:
+        ax.set_ylabel(y_label)
+    if legend:
+        ax.legend(loc="best")
+    fig.tight_layout()
+    if save:
+        fig.savefig(save)
+    if show:
+        plt.show()
+    plt.close(fig)
+
+
+def _stat_box(ax, lines: list[str]):
+    """Stack annotation lines in the top-left corner in axes coordinates."""
+    for row, text in enumerate(lines):
+        ax.annotate(
+            text,
+            xy=(0.04, 0.96 - 0.05 * row),
+            xycoords="axes fraction",
+            va="top",
+            bbox={"boxstyle": "round", "fc": "0.9", "alpha": 0.6},
+        )
+
+
 def plot_and_save_heatmap(
     matrix,
     figsize=None,
@@ -401,30 +447,30 @@ def plot_and_save_heatmap(
     show=True,
     save_fig_path=None,
 ) -> None:
-    """Annotated heatmap (parity: _utils.py:364-402)."""
-    import matplotlib.pyplot as plt
-    import seaborn as sns
+    """Cell-annotated heatmap with a labeled colorbar. Rendered with
+    ``imshow`` + per-cell text (no seaborn dependency)."""
+    matrix = np.atleast_2d(_to_numpy(matrix))
+    n_rows, n_cols = matrix.shape
+    if figsize is None:
+        # scale with the grid but keep tiny matrices readable
+        figsize = (max(4.0, 0.6 * n_cols + 1.5), max(3.5, 0.6 * n_rows + 1.0))
+    fig, ax = _fig_axes(figsize)
+    im = ax.imshow(matrix, cmap="viridis", aspect="auto")
+    cbar_label = (cbar_kws or {}).get("label", "value")
+    fig.colorbar(im, ax=ax, label=cbar_label)
 
-    matrix = _to_numpy(matrix)
-    figsize = (len(matrix) * 0.7, len(matrix) * 0.7) if figsize is None else figsize
-    plt.figure(figsize=figsize)
-    sns.heatmap(
-        matrix,
-        annot=True,
-        fmt=".2f",
-        cmap="viridis",
-        xticklabels=x_tick_labels if x_tick_labels else list(range(matrix.shape[1])),
-        yticklabels=y_tick_labels if y_tick_labels else list(range(matrix.shape[0])),
-        cbar_kws=cbar_kws if cbar_kws else {"label": "value"},
-    )
-    plt.title(title)
-    plt.xlabel(x_label)
-    plt.ylabel(y_label)
-    if save_fig_path:
-        plt.savefig(save_fig_path)
-    if show:
-        plt.show()
-    plt.close()
+    lo, hi = float(matrix.min()), float(matrix.max())
+    midpoint = lo + 0.5 * (hi - lo)
+    for (r, c), val in np.ndenumerate(matrix):
+        ax.text(
+            c, r, format(val, ".2f"),
+            ha="center", va="center",
+            color="black" if val > midpoint else "white",
+        )
+    ax.set_xticks(range(n_cols), x_tick_labels or range(n_cols))
+    ax.set_yticks(range(n_rows), y_tick_labels or range(n_rows))
+    _finalize_plot(fig, ax, title=title, x_label=x_label, y_label=y_label,
+                   save=save_fig_path, show=show)
 
 
 def plot_and_save_barplot(
@@ -436,32 +482,33 @@ def plot_and_save_barplot(
     save_path=None,
     show=True,
 ) -> None:
-    """Grouped barplot (parity: _utils.py:404-450)."""
-    import matplotlib.pyplot as plt
-
-    x_labels = list(data.keys())
-    values = list(data.values())
-    num_groups = len(values[0])
-    if not all(len(v) == num_groups for v in values):
+    """Grouped barplot: one x position per dict key, one bar per series."""
+    n_series = len(bar_labels)
+    if any(len(v) != n_series for v in data.values()):
         raise ValueError(
             "All lists in data must have the same length as the number of bar labels."
         )
-    x = np.arange(len(x_labels))
-    width = 0.8 / num_groups
-    plt.figure(figsize=(10, 6))
-    for i in range(num_groups):
-        plt.bar(x + i * width, [v[i] for v in values], width, label=bar_labels[i])
-    plt.title(title)
-    plt.xlabel(xlabel)
-    plt.ylabel(ylabel)
-    plt.xticks(x + width * (num_groups - 1) / 2, x_labels)
-    plt.legend()
-    plt.grid(axis="y", linestyle="--", alpha=0.6)
-    if save_path:
-        plt.savefig(save_path)
-    if show:
-        plt.show()
-    plt.close()
+    positions = np.arange(len(data))
+    bar_w = 0.8 / max(n_series, 1)
+    # offsets centered on each group position
+    offsets = (np.arange(n_series) - (n_series - 1) / 2) * bar_w
+
+    fig, ax = _fig_axes((10, 6))
+    for s, (off, label) in enumerate(zip(offsets, bar_labels)):
+        heights = [series[s] for series in data.values()]
+        ax.bar(positions + off, heights, width=bar_w, label=label)
+    ax.set_xticks(positions, list(data))
+    ax.yaxis.grid(True, linestyle=":", alpha=0.5)
+    _finalize_plot(fig, ax, title=title, x_label=xlabel, y_label=ylabel,
+                   save=save_path, show=show, legend=True)
+
+
+def _thin_ticks(ax, x, max_ticks=20):
+    """Keep at most ``max_ticks`` evenly spaced x tick labels."""
+    if len(x) <= max_ticks:
+        return
+    keep = np.unique(np.linspace(0, len(x) - 1, max_ticks).astype(int))
+    ax.set_xticks(keep, np.asarray(x)[keep], rotation=90)
 
 
 def plot_and_save_lineplot(
@@ -476,33 +523,22 @@ def plot_and_save_lineplot(
     ylabel="y-axis",
     show=True,
 ) -> None:
-    """Lineplot with <=20 x-ticks (parity: _utils.py:453-503)."""
-    import matplotlib.pyplot as plt
-
+    """Markered lineplot; x tick labels are thinned to at most 20."""
     y = _to_numpy(y)
-    if x is None:
-        x = np.arange(len(y))
     if sort_y:
         y = np.sort(y)
-    plt.figure(figsize=(10, 6))
-    plt.plot(x, y, marker="o", linestyle="-", color="b")
-    plt.title(title)
-    plt.xlabel(xlabel)
-    plt.ylabel(ylabel)
-    plt.grid(True)
-    if len(x) > 20:
-        idx = np.linspace(0, len(x) - 1, 20, dtype=int)
-        plt.xticks(idx, [x[i] for i in idx], rotation=90)
+    x = np.arange(y.shape[0]) if x is None else x
+
+    fig, ax = _fig_axes((10, 6))
+    ax.plot(x, y, "o-")
+    ax.grid(True, alpha=0.7)
+    _thin_ticks(ax, x)
     if y_lim:
-        plt.ylim(y_lim)
+        ax.set_ylim(y_lim)
     if x_lim:
-        plt.xlim(x_lim)
-    plt.tight_layout()
-    if save_path:
-        plt.savefig(save_path)
-    if show:
-        plt.show()
-    plt.close()
+        ax.set_xlim(x_lim)
+    _finalize_plot(fig, ax, title=title, x_label=xlabel, y_label=ylabel,
+                   save=save_path, show=show)
 
 
 def plot_and_save_histogram(
@@ -515,22 +551,26 @@ def plot_and_save_histogram(
     x_lim=(0, 1),
     show=True,
 ) -> None:
-    """Histogram (parity: _utils.py:506-536)."""
-    import matplotlib.pyplot as plt
-
-    plt.figure(figsize=(10, 6))
-    plt.hist(_to_numpy(data), bins=num_bins, color="blue", edgecolor="black", alpha=0.7)
-    plt.title(title)
-    plt.xlabel(x_label)
-    plt.ylabel(y_label)
-    plt.grid(axis="y", linestyle="--", alpha=0.6)
+    """Frequency histogram over ``num_bins`` bins."""
+    fig, ax = _fig_axes((10, 6))
+    ax.hist(_to_numpy(data), bins=num_bins, edgecolor="0.2", alpha=0.75)
+    ax.yaxis.grid(True, linestyle=":", alpha=0.5)
     if x_lim:
-        plt.xlim(*x_lim)
-    if save_path:
-        plt.savefig(save_path)
-    if show:
-        plt.show()
-    plt.close()
+        ax.set_xlim(x_lim)
+    _finalize_plot(fig, ax, title=title, x_label=x_label, y_label=y_label,
+                   save=save_path, show=show)
+
+
+def _drop_nan_pairs(x, y):
+    keep = np.isfinite(x) & np.isfinite(y)
+    return x[keep], y[keep]
+
+
+def _eval_regression(reg: RegressionResult, xs: np.ndarray) -> np.ndarray:
+    """Evaluate a fitted polynomial at ``xs`` (coefficients are
+    lowest-degree-first with the constant split into ``intercept``)."""
+    powers = np.arange(len(reg.coefficients))
+    return reg.intercept + (xs[:, None] ** powers) @ reg.coefficients
 
 
 def plot_boxplot_with_regression(
@@ -549,84 +589,68 @@ def plot_boxplot_with_regression(
     return_results=False,
     show=True,
 ):
-    """Binned boxplot + polynomial regression overlay
-    (parity: _utils.py:586-727)."""
-    import matplotlib.pyplot as plt
+    """Per-bin boxplots of y over x with a polynomial regression overlay.
 
+    Returns (when ``return_results``) a dict with ``overall_statistics``,
+    ``regression_result``, and ``per_bin_statistics`` — the same result
+    contract as the reference helper.
+    """
     x = _to_numpy(x)
     y = _to_numpy(y)
     lower, upper = x_lim
-    bins = np.linspace(lower, upper, num_bins + 1)
-    centers = 0.5 * (bins[:-1] + bins[1:])
-    bin_idx = np.digitize(x, bins) - 1
-    binned_y = [
-        list(y[(bin_idx == i)]) or [np.nan] for i in range(num_bins)
-    ]
+    edges = np.linspace(lower, upper, num_bins + 1)
+    centers = edges[:-1] + np.diff(edges) / 2
+    box_w = (upper - lower) / (2 * num_bins)
 
-    plt.figure(figsize=(12, 8))
-    plt.boxplot(
-        binned_y,
-        positions=centers,
-        widths=(upper - lower) / (num_bins * 2),
-        patch_artist=True,
-    )
-
-    valid = ~np.isnan(x) & ~np.isnan(y)
-    x_valid, y_valid = x[valid], y[valid]
-    if len(x_valid) <= 1:
+    x_valid, y_valid = _drop_nan_pairs(x, y)
+    if x_valid.size < 2:
         raise ValueError(
             "Less than two data points are valid. Data is invalid for plotting."
         )
+
+    fig, ax = _fig_axes((12, 8))
+    which_bin = np.clip(np.searchsorted(edges, x, side="right") - 1, 0, num_bins - 1)
+    groups = []
+    for b in range(num_bins):
+        members = y[(which_bin == b) & np.isfinite(y) & (x >= lower) & (x <= upper)]
+        groups.append(members if members.size else np.array([np.nan]))
+    ax.boxplot(groups, positions=centers, widths=box_w, patch_artist=True)
+
     reg = fit_regression_line(x_valid, y_valid, poly_degree)
-    x_line = np.linspace(lower, upper, 100)
-    y_line = np.polyval(reg.coefficients[::-1], x_line) + reg.intercept
-    plt.plot(
-        x_line, y_line, color="red", linewidth=2,
-        label=f"Regression line (Degree {poly_degree})",
-    )
+    xs = np.linspace(lower, upper, 128)
+    ax.plot(xs, _eval_regression(reg, xs), "r-", lw=2,
+            label=f"Regression line (Degree {poly_degree})")
     overall = get_statistics(x_valid, y_valid)
-    plt.text(
-        0.05, 0.95, f"Pearson Correlation: {overall.pearson:.2f}",
-        transform=plt.gca().transAxes, fontsize=12, verticalalignment="top",
-        bbox=dict(boxstyle="round", alpha=0.5),
-    )
-    plt.text(
-        0.05, 0.90, f"MSE: {reg.mse:.4f}", transform=plt.gca().transAxes,
-        fontsize=12, verticalalignment="top", bbox=dict(boxstyle="round", alpha=0.5),
-    )
+    _stat_box(ax, [
+        f"Pearson Correlation: {overall.pearson:.2f}",
+        f"MSE: {reg.mse:.4f}",
+    ])
 
     per_bin_stats = []
     if plot_bin_regression or return_results:
-        half = (upper - lower) / (2 * num_bins)
-        for i in range(num_bins):
-            m = (x_valid > centers[i] - half) & (x_valid <= centers[i] + half)
-            if m.sum() > 1:
-                br = fit_regression_line(x_valid[m], y_valid[m], 1)
-                bs = get_statistics(x_valid[m], y_valid[m])
-                per_bin_stats.append(
-                    {"bin_index": i + 1, "bin_center": centers[i],
-                     "bin_stats": bs, "regression": br}
-                )
-                if plot_bin_regression:
-                    plt.plot(
-                        x_valid[m], br.predictions,
-                        label=f"Bin {i + 1} coeff: {br.coefficients[1]:.2f}",
-                    )
-                if verbose:
-                    logger.info("bin %d: %s", i + 1, bs)
+        for b, center in enumerate(centers):
+            inside = (x_valid > center - box_w) & (x_valid <= center + box_w)
+            if inside.sum() < 2:
+                continue
+            bin_reg = fit_regression_line(x_valid[inside], y_valid[inside], 1)
+            bin_stats = get_statistics(x_valid[inside], y_valid[inside])
+            per_bin_stats.append({
+                "bin_index": b + 1,
+                "bin_center": center,
+                "bin_stats": bin_stats,
+                "regression": bin_reg,
+            })
+            if plot_bin_regression:
+                ax.plot(x_valid[inside], bin_reg.predictions,
+                        label=f"Bin {b + 1} coeff: {bin_reg.coefficients[1]:.2f}")
+            if verbose:
+                logger.info("bin %d: %s", b + 1, bin_stats)
 
-    plt.xticks(centers, [round(c, 2) for c in centers])
-    plt.title(title)
-    plt.xlabel(x_label)
-    plt.xlim(lower, upper)
-    plt.ylabel(y_label)
-    plt.ylim(*y_lim)
-    plt.legend()
-    if save_fig_path:
-        plt.savefig(save_fig_path)
-    if show:
-        plt.show()
-    plt.close()
+    ax.set_xticks(centers, np.round(centers, 2))
+    ax.set_xlim(lower, upper)
+    ax.set_ylim(y_lim)
+    _finalize_plot(fig, ax, title=title, x_label=x_label, y_label=y_label,
+                   save=save_fig_path, show=show, legend=True)
     if return_results:
         return {
             "overall_statistics": overall,
@@ -646,52 +670,38 @@ def plot_scatter_with_regression(
     save_fig_path=None,
     show=True,
 ) -> None:
-    """Scatter + linear regression (parity: _utils.py:730-790)."""
-    import matplotlib.pyplot as plt
-
-    x = _to_numpy(x)
-    y = _to_numpy(y)
-    lower, upper = x_lim
-    valid = ~np.isnan(x) & ~np.isnan(y)
-    x_valid, y_valid = x[valid], y[valid]
-    plt.figure(figsize=(10, 6))
-    plt.scatter(x_valid, y_valid, alpha=0.6, label="Data points")
-    if len(x_valid) > 1:
+    """Scatter of (x, y) with a degree-1 least-squares overlay."""
+    x_valid, y_valid = _drop_nan_pairs(_to_numpy(x), _to_numpy(y))
+    fig, ax = _fig_axes((10, 6))
+    ax.scatter(x_valid, y_valid, alpha=0.6, label="Data points")
+    if x_valid.size >= 2:
         reg = fit_regression_line(x_valid, y_valid, 1)
-        coeff = reg.coefficients[1]
-        x_line = np.linspace(lower, upper, 100)
-        plt.plot(
-            x_line, reg.intercept + coeff * x_line, color="red", linewidth=2,
-            label=f"Regression line, Coefficient: {coeff:.2f}",
-        )
+        xs = np.linspace(*x_lim, 128)
+        ax.plot(xs, _eval_regression(reg, xs), "r-", lw=2,
+                label=f"Regression line, Coefficient: {reg.coefficients[1]:.2f}")
     else:
         logger.warning("Insufficient data points for regression.")
-    plt.title(title)
-    plt.xlabel(x_label)
-    plt.xlim(*x_lim)
-    plt.ylabel(y_label)
-    plt.ylim(*y_lim)
-    plt.legend()
-    if save_fig_path:
-        plt.savefig(save_fig_path)
-    if show:
-        plt.show()
-    plt.close()
+    ax.set_xlim(x_lim)
+    ax.set_ylim(y_lim)
+    _finalize_plot(fig, ax, title=title, x_label=x_label, y_label=y_label,
+                   save=save_fig_path, show=show, legend=True)
 
 
 @check_is_image()
 def plot_image(image, title: str | None = None) -> None:
-    """Plot an image; CHW torch-layout arrays are transposed to HWC
-    (parity: _utils.py:908-919)."""
+    """Display an image; CHW torch-layout arrays are transposed to HWC."""
     import matplotlib.pyplot as plt
 
     image = _to_numpy(image)
     if image.ndim == 3 and image.shape[0] == 3:
         image = np.transpose(image, (1, 2, 0))
-    plt.imshow(image)
-    plt.title(title)
-    plt.axis("off")
+    fig, ax = _fig_axes(None)
+    ax.imshow(image)
+    ax.set_axis_off()
+    ax.set_title(title)
+    fig.tight_layout()
     plt.show()
+    plt.close(fig)
 
 
 # ---------------------------------------------------------------------------
