@@ -313,6 +313,10 @@ class DeepConvFeature(FeatureExtractorBase):
             c = vgg_lib.conv_out_channels(cfg_name, layer_index)
         self._output_dim = c + 2 if spatial_encoding else c
         self._jit_forward = jax.jit(self._forward)
+        # Split stages for ragged batches: one cached trace per input shape
+        # for the resize, one shared trace for the trunk.
+        self._jit_preprocess = jax.jit(self.transform or self._preprocess)
+        self._jit_forward_features = jax.jit(self._forward_features)
 
     def list_conv_layers(self):
         """(index, name, out_channels) for each conv layer
@@ -358,6 +362,10 @@ class DeepConvFeature(FeatureExtractorBase):
     def _forward(self, images: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) raw -> (B, Hf*Wf, D) descriptors."""
         x = self.transform(images) if self.transform else self._preprocess(images)
+        return self._forward_features(x)
+
+    def _forward_features(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Preprocessed (B, S, S, 3) float in [0, 1] -> (B, Hf*Wf, D)."""
         fmap = self._model.apply(self.params, x)  # (B, Hf, Wf, C)
         b, hf, wf, c = fmap.shape
         desc = fmap.reshape(b, hf * wf, c)
@@ -390,18 +398,17 @@ class DeepConvFeature(FeatureExtractorBase):
             if len(shapes) == 1:
                 batch = jnp.asarray(np.stack([np.asarray(i) for i in images]))
             else:
-                # Ragged sizes: resize host-side per image to the static size.
-                import cv2
-
-                resized = [
-                    cv2.resize(
-                        np.asarray(i).astype(np.float32),
-                        (self.image_size, self.image_size),
-                        interpolation=cv2.INTER_AREA,
-                    )
+                # Ragged sizes: preprocess per image with the SAME on-device
+                # bilinear path as `_preprocess` (one cached jit trace per
+                # distinct input shape), so an image produces identical
+                # descriptors regardless of the batch it arrives in.
+                pre = [
+                    self._jit_preprocess(jnp.asarray(np.asarray(i))[None])
                     for i in images
                 ]
-                batch = jnp.asarray(np.stack(resized))
+                desc = self._jit_forward_features(jnp.concatenate(pre, axis=0))
+                mask = jnp.ones(desc.shape[:2], self.dtype)
+                return desc, mask
         desc = self._jit_forward(batch)
         mask = jnp.ones(desc.shape[:2], self.dtype)
         return desc, mask
