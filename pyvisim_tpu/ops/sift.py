@@ -60,7 +60,32 @@ class SiftConfig:
     max_keypoints: int = 2048
     ori_patch_radius: int = 16  # >= round(4.5 * sigma * 2^(3.5/3)) = 16
     desc_patch_radius: int = 40  # >= hist_width * sqrt(2) * 2.5 at max scale
+    # Per-scale-class patch radii: keypoints are binned by the radius their
+    # scale actually needs (ori: round(4.5*scl); desc: round(10.607*scl))
+    # and each class runs its own fixed-radius pass — small-scale keypoints
+    # (the majority on natural images) stop paying the worst-case 81x81
+    # patch area. The last entry must equal the *_patch_radius pad.
+    ori_radius_classes: tuple[int, ...] = (12, 16)
+    desc_radius_classes: tuple[int, ...] = (24, 32, 40)
+    # Orientation/descriptor patches and their histogram contractions run
+    # in bfloat16 (magnitude/angle atlas storage + MXU inputs); the
+    # histogram accumulation and all detection math stay float32.
+    atlas_dtype: str = "bfloat16"
     refine_steps: int = 5
+    # Spatial reach of the refinement's local patch (the iteration may
+    # move at most this many pixels from the detected extremum before the
+    # candidate is rejected as unstable). OpenCV re-centers globally for
+    # up to refine_steps single steps; moves beyond +-3 px essentially
+    # never survive the contrast/edge gates, and the patch gather is the
+    # detection stage's bandwidth bill: side = 2*reach+3 shrinks it
+    # quadratically (13^2 -> 9^2 is 2.1x less).
+    refine_reach: int = 3
+    # Patch gather dtype for the (L+2, side, side) candidate patches.
+    # bfloat16 halves the gather bill and costs only ~0.4% input noise
+    # (values are bounded below by the prelim threshold), but on current
+    # Mosaic the bf16 cube-select einsums lower to layout-shuffled MXU
+    # ops that eat the saving — float32 measures faster end-to-end.
+    refine_dtype: str = "float32"
     # OpenCV emits an extra keypoint per secondary orientation peak
     # >= 0.8 * max (SIFT_ORI_PEAK_RATIO); False keeps only the dominant
     # orientation (faster, slightly fewer descriptors).
@@ -69,6 +94,18 @@ class SiftConfig:
     # pipelines (memory vs sequential-step trade-off)
     ori_chunk: int = 256
     desc_chunk: int = 64
+
+    def __post_init__(self):
+        if max(self.desc_radius_classes) > self.desc_patch_radius:
+            raise ValueError(
+                "desc_radius_classes must fit inside desc_patch_radius "
+                "(the atlas padding)"
+            )
+        if max(self.ori_radius_classes) > self.desc_patch_radius:
+            raise ValueError(
+                "ori_radius_classes must fit inside desc_patch_radius "
+                "(the atlas padding)"
+            )
 
     @property
     def base_size(self) -> int:
@@ -131,8 +168,15 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
     is exactly "center >= all 26 neighbors" (ties allowed, like OpenCV's
     ``>=``). The previous formulation stacked 26 rolled copies of the DoG
     (~2.6 GB materialized per 1024² octave batch) — pure HBM waste.
+
+    Runs in bfloat16: the window comparisons see identically-quantized
+    values on both sides, and the prelim threshold is an integer >= 1
+    (DoG resolution at that magnitude is ~0.03) — candidate *selection*
+    may flip on exact float ties, but every survivor is re-derived and
+    gated in float32 by the refinement stage. OpenCV itself detects on an
+    8-bit (1/48-step) pyramid — far coarser than this.
     """
-    d = dog
+    d = dog.astype(jnp.bfloat16)
     center = d[1:-1]  # (L, H, W)
     wmax = jax.lax.reduce_window(
         d, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "VALID"
@@ -179,70 +223,83 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     h, w = dog.shape[1], dog.shape[2]
     n_layers = cfg.n_octave_layers
     n_total = dog.shape[0]  # L+2
-    reach = cfg.refine_steps  # max pixels moved
+    reach = cfg.refine_reach  # max pixels moved
     side = 2 * reach + 3  # patch side: interior +-reach, stencil halo +-1
     isz = side - 2  # stencil-evaluable interior side
 
-    # 1) one local patch per candidate from the spatially padded DoG
+    # 1) one local patch per candidate from the spatially padded DoG.
+    # The DoG is transposed to layer-minor (H, W, L) first: the patch
+    # gather is segment-latency-bound (thousands of vmapped dynamic
+    # slices), and in this layout each patch row's (col, layer) block is
+    # ONE contiguous side*(L+2)-element run — 5x fewer segments per
+    # candidate than the (L, H, W) layout, for one cheap dense transpose.
     dogp = jnp.pad(dog, ((0, 0), (reach + 1, reach + 1), (reach + 1, reach + 1)))
+    dogp = jnp.transpose(dogp, (1, 2, 0)).astype(jnp.dtype(cfg.refine_dtype))
 
     def patch_one(r, c):
-        # patch[l, i, j] = dog[l, r - reach - 1 + i, c - reach - 1 + j]
-        return jax.lax.dynamic_slice(dogp, (0, r, c), (n_total, side, side))
+        # patch[i, j, l] = dog[l, r - reach - 1 + i, c - reach - 1 + j]
+        return jax.lax.dynamic_slice(dogp, (r, c, 0), (side, side, n_total))
 
-    patches = jax.vmap(patch_one)(cand_r, cand_c)  # (N, L+2, side, side)
+    patches = jax.vmap(patch_one)(cand_r, cand_c)  # (N, side, side, L+2)
 
-    # 2) dense stencils over the interior (layers 1..L, spatial halo-1)
-    pc = patches[:, 1:-1, 1:-1, 1:-1]  # center (N, L, isz, isz)
-    east = patches[:, 1:-1, 1:-1, 2:]
-    west = patches[:, 1:-1, 1:-1, :-2]
-    south = patches[:, 1:-1, 2:, 1:-1]
-    north = patches[:, 1:-1, :-2, 1:-1]
-    up = patches[:, 2:, 1:-1, 1:-1]
-    down = patches[:, :-2, 1:-1, 1:-1]
-    v2 = pc * 2.0
-    q = jnp.stack(
-        [
-            pc * img_scale,                                # value
-            (east - west) * deriv_scale,                   # dDx
-            (south - north) * deriv_scale,                 # dDy
-            (up - down) * deriv_scale,                     # dDs
-            (east + west - v2) * second_deriv_scale,       # dxx
-            (south + north - v2) * second_deriv_scale,     # dyy
-            (up + down - v2) * second_deriv_scale,         # dss
-            (
-                patches[:, 1:-1, 2:, 2:]
-                - patches[:, 1:-1, 2:, :-2]
-                - patches[:, 1:-1, :-2, 2:]
-                + patches[:, 1:-1, :-2, :-2]
-            ) * cross_deriv_scale,                         # dxy
-            (
-                patches[:, 2:, 1:-1, 2:]
-                - patches[:, 2:, 1:-1, :-2]
-                - patches[:, :-2, 1:-1, 2:]
-                + patches[:, :-2, 1:-1, :-2]
-            ) * cross_deriv_scale,                         # dxs
-            (
-                patches[:, 2:, 2:, 1:-1]
-                - patches[:, 2:, :-2, 1:-1]
-                - patches[:, :-2, 2:, 1:-1]
-                + patches[:, :-2, :-2, 1:-1]
-            ) * cross_deriv_scale,                         # dys
-        ],
-        axis=1,
-    )  # (N, 10, L, isz, isz)
-    n_cand = q.shape[0]
-    n_pos = n_layers * isz * isz
-    q_flat = q.reshape(n_cand, 10, n_pos)
-
+    # 2) per-iteration 3x3x3 cube select via rank-1 one-hot contractions.
+    # An earlier cut precomputed all 10 derivative stencils densely over
+    # the patch interior and one-hot-selected 10 scalars per iteration —
+    # but the dense maps are 10x3x11x11 f32 per candidate and the select
+    # re-reads them every iteration: ~87 KB of HBM traffic per candidate.
+    # Selecting the raw 27-value cube (row/col/layer one-hot matmuls
+    # against the 3.4 KB patch) and deriving the 10 stencil scalars from
+    # it on the VPU is ~4x less traffic and skips the dense-map writes.
+    n_cand = patches.shape[0]
     center = reach  # local spatial index of the starting pixel in interior
+    tri = jnp.arange(3, dtype=jnp.int32)
 
     def select(layer, dr, dc):
-        """10 stencil scalars at local position via one-hot contraction."""
-        idx = (layer - 1) * (isz * isz) + dr * isz + dc
-        onehot = jax.nn.one_hot(idx, n_pos, dtype=q_flat.dtype)  # (N, n_pos)
-        return jnp.einsum(
-            "np,nkp->nk", onehot, q_flat, preferred_element_type=jnp.float32
+        """10 stencil scalars at local interior position (layer, dr, dc).
+
+        Interior (dr, dc) sits at patch (dr+1, dc+1); its 3x3 spatial
+        block spans patch rows dr..dr+2 / cols dc..dc+2, and the scale
+        cube spans patch layers layer-1..layer+1."""
+        rh = jax.nn.one_hot(dr[:, None] + tri, side, dtype=patches.dtype)
+        ch = jax.nn.one_hot(dc[:, None] + tri, side, dtype=patches.dtype)
+        lh = jax.nn.one_hot(layer[:, None] - 1 + tri, n_total)  # (N, 3, L+2)
+        tmp = jnp.einsum(
+            "nas,nstl->natl", rh, patches, preferred_element_type=jnp.float32
+        )
+        blk = jnp.einsum(
+            "natl,nbt->nabl", tmp, ch, preferred_element_type=jnp.float32
+        )  # (N, 3, 3, L+2)
+        cube = jnp.einsum(
+            "ndl,nabl->ndab", lh, blk, preferred_element_type=jnp.float32
+        )  # (N, 3, 3, 3): [layer-1+d, dr+a, dc+b]
+        cc = cube[:, 1, 1, 1]
+        v2 = cc * 2.0
+        return jnp.stack(
+            [
+                cc * img_scale,
+                (cube[:, 1, 1, 2] - cube[:, 1, 1, 0]) * deriv_scale,   # dDx
+                (cube[:, 1, 2, 1] - cube[:, 1, 0, 1]) * deriv_scale,   # dDy
+                (cube[:, 2, 1, 1] - cube[:, 0, 1, 1]) * deriv_scale,   # dDs
+                (cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - v2)
+                * second_deriv_scale,                                  # dxx
+                (cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - v2)
+                * second_deriv_scale,                                  # dyy
+                (cube[:, 2, 1, 1] + cube[:, 0, 1, 1] - v2)
+                * second_deriv_scale,                                  # dss
+                (
+                    cube[:, 1, 2, 2] - cube[:, 1, 2, 0]
+                    - cube[:, 1, 0, 2] + cube[:, 1, 0, 0]
+                ) * cross_deriv_scale,                                 # dxy
+                (
+                    cube[:, 2, 1, 2] - cube[:, 2, 1, 0]
+                    - cube[:, 0, 1, 2] + cube[:, 0, 1, 0]
+                ) * cross_deriv_scale,                                 # dxs
+                (
+                    cube[:, 2, 2, 1] - cube[:, 2, 0, 1]
+                    - cube[:, 0, 2, 1] + cube[:, 0, 0, 1]
+                ) * cross_deriv_scale,                                 # dys
+            ],
+            axis=1,
         )  # (N, 10)
 
     def solve3(s):
@@ -354,7 +411,7 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
 # ---------------------------------------------------------------------------
 # Orientation
 # ---------------------------------------------------------------------------
-def _magang_stacks(gauss: jnp.ndarray, pad: int):
+def _magang_stacks(gauss: jnp.ndarray, pad: int, dtype=jnp.float32):
     """Dense per-octave gradient magnitude/angle stacks, zero-padded by
     ``pad`` on H/W, fused along a leading channel axis.
 
@@ -374,23 +431,38 @@ def _magang_stacks(gauss: jnp.ndarray, pad: int):
     dy = jnp.pad(g[:, :-2, :] - g[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)
-    widths = ((0, 0), (0, 0), (pad, pad), (pad, pad))
-    return jnp.pad(jnp.stack([mag, ang]), widths)  # (2, L, h+2p, w+2p)
+    widths = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    # bf16 atlas storage halves HBM traffic of the per-candidate slices;
+    # angle resolution ~0.012 rad is far inside the 36-bin histogram width.
+    # Channel-MINOR layout (L, H, W, 2): the per-candidate patch slice is
+    # segment-latency-bound, and interleaving mag/ang makes each patch row
+    # one contiguous 2P-element run — half the segments of the
+    # channel-major layout.
+    return jnp.pad(jnp.stack([mag, ang], axis=-1).astype(dtype), widths)
 
 
-def _magang_patches(stacks, layer, r, c, radius: int, h, w, pad: int, row_off=0):
+def _magang_patches(stacks, layer, r, c, radius: int, h, w, pad: int, row_off=0,
+                    img=None):
     """(2R+1, 2R+1) magnitude/angle patches around (r, c) at ``layer`` via
     ONE contiguous dynamic slice of the fused stacks, plus the OpenCV
     border-validity mask (r, c within [1, dim-2]).
 
     ``row_off`` relocates the slice into a cross-octave atlas (the stacks
     of every octave concatenated along rows; see ``_grad_atlas``); ``h``/
-    ``w`` are then the candidate's own octave dims (traced scalars)."""
+    ``w`` are then the candidate's own octave dims (traced scalars).
+    ``img`` addresses a batched (B, L, H, W, 2) atlas — the flattened
+    batchxcandidate work-queue layout."""
     p = 2 * radius + 1
     # stacks hold only the L addressable levels (see _magang_stacks)
-    start = (0, layer - 1, r - radius + pad + row_off, c - radius + pad)
-    both = jax.lax.dynamic_slice(stacks, start, (2, 1, p, p))
-    mag, ang = both[0, 0], both[1, 0]
+    if img is None:
+        start = (layer - 1, r - radius + pad + row_off, c - radius + pad, 0)
+        both = jax.lax.dynamic_slice(stacks, start, (1, p, p, 2))
+        mag, ang = both[0, :, :, 0], both[0, :, :, 1]
+    else:
+        start = (img, layer - 1, r - radius + pad + row_off,
+                 c - radius + pad, 0)
+        both = jax.lax.dynamic_slice(stacks, start, (1, 1, p, p, 2))
+        mag, ang = both[0, 0, :, :, 0], both[0, 0, :, :, 1]
     off = jnp.arange(-radius, radius + 1)
     rr = r + off[:, None]
     cc = c + off[None, :]
@@ -399,17 +471,21 @@ def _magang_patches(stacks, layer, r, c, radius: int, h, w, pad: int, row_off=0)
 
 
 def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig,
-                 row_off=0):
+                 row_off=0, radius: int | None = None, img=None):
     """Dominant gradient orientation (radians, OpenCV's grad-angle
     convention θ = atan2(dy, dx) with y-up dy). Histogram built as a dense
-    (P², 36) one-hot-mix matmul; smoothing is OpenCV's [1,4,6,4,1]/16
-    circular kernel; the peak is parabolically interpolated."""
+    (P², 36) one-hot-mix matmul (bf16 inputs, f32 accumulate); smoothing is
+    OpenCV's [1,4,6,4,1]/16 circular kernel; the peak is parabolically
+    interpolated. ``radius`` is the static patch radius for this pass (a
+    scale class may use less than the worst-case cfg.ori_patch_radius)."""
     radius_f = jnp.round(4.5 * scl_oct)  # SIFT_ORI_RADIUS = 3 * 1.5
     sigma_w = 1.5 * scl_oct
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
-    R = cfg.ori_patch_radius
+    R = cfg.ori_patch_radius if radius is None else radius
 
-    mag, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off)
+    mag, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off,
+                                    img)
+    cdt = mag.dtype
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None]
     jj = off[None, :]
@@ -417,11 +493,12 @@ def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig
     wmask = (inb & in_radius).astype(jnp.float32)
     wgt = jnp.exp((ii * ii + jj * jj) * exp_scale) * wmask
     n_bins = 36
-    fbin = ang * (n_bins / (2.0 * jnp.pi))
+    fbin = ang.astype(jnp.float32) * (n_bins / (2.0 * jnp.pi))
     bin_idx = jnp.round(fbin).astype(jnp.int32) % n_bins  # OpenCV cvRound
-    one_hot = jax.nn.one_hot(bin_idx.reshape(-1), n_bins)  # (P^2, 36)
+    one_hot = jax.nn.one_hot(bin_idx.reshape(-1), n_bins, dtype=cdt)  # (P^2, 36)
     hist = jnp.dot(
-        (wgt * mag).reshape(1, -1), one_hot, preferred_element_type=jnp.float32
+        (wgt * mag).astype(cdt).reshape(1, -1), one_hot,
+        preferred_element_type=jnp.float32,
     )[0]
 
     # circular smoothing [1,4,6,4,1]/16
@@ -462,9 +539,12 @@ def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig
 # Descriptor
 # ---------------------------------------------------------------------------
 def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
-                cfg: SiftConfig, row_off=0):
+                cfg: SiftConfig, row_off=0, radius: int | None = None,
+                img=None):
     """128-D descriptor, OpenCV calcSIFTDescriptor semantics, built as a
-    dense einsum over rank-1 trilinear weight products (no scatter)."""
+    dense einsum over rank-1 trilinear weight products (no scatter; bf16
+    MXU inputs with f32 accumulation). ``radius`` is this pass's static
+    patch radius (scale classes use less than the worst-case maximum)."""
     d, n = 4, 8
     hist_width = 3.0 * scl_oct
     cos_t = jnp.cos(theta) / hist_width
@@ -472,9 +552,13 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     bins_per_rad = n / (2.0 * jnp.pi)
     exp_scale = -1.0 / (d * d * 0.5)
     radius_f = jnp.round(hist_width * 1.4142135623730951 * (d + 1) * 0.5)
-    R = cfg.desc_patch_radius
+    R = cfg.desc_patch_radius if radius is None else radius
 
-    mag_p, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off)
+    mag_p, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad,
+                                      row_off, img)
+    cdt = mag_p.dtype
+    ang = ang.astype(jnp.float32)
+    mag_p = mag_p.astype(jnp.float32)
     off = jnp.arange(-R, R + 1).astype(jnp.float32)
     ii = off[:, None] + jnp.zeros((1, 2 * R + 1))  # row offsets i
     jj = off[None, :] + jnp.zeros((2 * R + 1, 1))  # col offsets j
@@ -523,9 +607,10 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     wc = jax.nn.one_hot(c_idx, d + 2) * (1 - cf)[:, None] + jax.nn.one_hot(
         c_idx + 1, d + 2
     ) * cf[:, None]
-    wo = jax.nn.one_hot(o_idx, n + 2) * (1 - of_)[:, None] + jax.nn.one_hot(
-        o_idx + 1, n + 2
-    ) * of_[:, None]
+    wo = (
+        jax.nn.one_hot(o_idx, n + 2, dtype=cdt) * (1 - of_).astype(cdt)[:, None]
+        + jax.nn.one_hot(o_idx + 1, n + 2, dtype=cdt) * of_.astype(cdt)[:, None]
+    )
 
     # hist[r, c, o] = sum_p mag_p * wr[p, r] * wc[p, c] * wo[p, o].
     # Contract r-bin by r-bin: each is a (d+2, P) x (P, n+2) matmul, so the
@@ -533,7 +618,7 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     # vmapped over thousands of candidates).
     rows = [
         jnp.dot(
-            (wc * (wr[:, r] * mag)[:, None]).T,
+            (wc * (wr[:, r] * mag)[:, None]).astype(cdt).T,
             wo,
             preferred_element_type=jnp.float32,
         )
@@ -606,7 +691,9 @@ def _detect_octave(dog_o, budget, cfg: SiftConfig):
     dog_o (L+2, H, W) -> dict of per-candidate arrays (budget,)."""
     prelim = math.floor(0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255)
     mask = _extrema_mask(dog_o, float(max(prelim, 1)))  # (L, H, W)
-    score = jnp.abs(dog_o[1:-1]) * mask
+    # bf16 scoring halves the top-k bandwidth; ranking ties among
+    # same-quantized weak candidates are refinement-gated anyway
+    score = jnp.abs(dog_o[1:-1].astype(jnp.bfloat16)) * mask
     n_l, n_h, n_w = score.shape
     # Hierarchical candidate selection: a flat top_k over the whole octave
     # (3.1M elements at 1024²) is a large sort; instead take the top-8
@@ -655,7 +742,7 @@ def _atlas_layout(cfg: SiftConfig):
 
 def _grad_atlas(gauss_octaves, cfg: SiftConfig):
     """Concatenate every octave's padded mag/angle stacks along rows into a
-    single (2, L+3, H_total, W_max) atlas (single image), so one
+    single (L, H_total, W_max, 2) atlas (single image), so one
     orientation / descriptor pass can serve candidates from ALL octaves
     (the retained global top-k) instead of one chunked pass per octave.
     Candidates address the atlas at ``r + row_offsets[octave]`` (plus
@@ -663,11 +750,14 @@ def _grad_atlas(gauss_octaves, cfg: SiftConfig):
     pad = cfg.desc_patch_radius
     w_max = gauss_octaves[0].shape[-1] + 2 * pad
     blocks = []
+    dtype = jnp.dtype(cfg.atlas_dtype)
     for g in gauss_octaves:
-        stacks = _magang_stacks(g, pad)  # (2, L+3, h+2p, w+2p)
-        extra = w_max - stacks.shape[-1]
-        blocks.append(jnp.pad(stacks, ((0, 0), (0, 0), (0, 0), (0, extra))))
-    return jnp.concatenate(blocks, axis=-2)
+        stacks = _magang_stacks(g, pad, dtype)  # (L, h+2p, w+2p, 2)
+        extra = w_max - stacks.shape[-2]
+        blocks.append(
+            jnp.pad(stacks, ((0, 0), (0, 0), (0, extra), (0, 0)))
+        )
+    return jnp.concatenate(blocks, axis=-3)
 
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:
@@ -730,31 +820,80 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
         for name, v in merged.items()
     }
 
-    # 3) one orientation pass over the retained candidates (atlas-based)
+    # 3) orientation over a FLATTENED batch x candidate work queue.
+    # Two structural properties make the patch stages cost what the actual
+    # keypoints cost instead of the worst-case budget:
+    #   * the queue is sorted by the patch radius each keypoint's scale
+    #     needs (ori: round(4.5*scl) <= class radius; invalid rows last),
+    #     and each fixed-radius class pass runs over the whole queue with
+    #     other-class rows invalidated — contiguous after the sort;
+    #   * the chunked pass runs UNBATCHED (``lax.map`` + scalar ``lax.cond``
+    #     per chunk), so all-invalid / other-class chunks genuinely skip.
+    #     The previous per-image layout vmapped the cond over the batch,
+    #     and a vmapped cond executes BOTH branches — no skip at all.
+    # Candidates address the batched atlas through their image id.
     offsets_np, heights_np, widths_np = _atlas_layout(cfg)
     offsets = jnp.asarray(offsets_np, jnp.int32)
     heights = jnp.asarray(heights_np, jnp.int32)
     widths = jnp.asarray(widths_np, jnp.int32)
     pad = cfg.desc_patch_radius
 
-    def orient_image(atlas, cand_im):
-        row_off = offsets[cand_im["octave"]]
-        hh = heights[cand_im["octave"]]
-        ww = widths[cand_im["octave"]]
-        return _chunked_vmap(
-            lambda l, rr, cc, s, v, ro, h_, w_: _orientation(
-                atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro
-            ),
-            (
-                cand_im["layer"], cand_im["r"], cand_im["c"],
-                cand_im["scl_oct"], cand_im["valid"], row_off, hh, ww,
-            ),
-            chunk=min(cfg.ori_chunk, k),
-            valid=cand_im["valid"],
+    def radius_class(scl, mult, radii):
+        need = jnp.round(mult * scl)
+        cls = jnp.searchsorted(jnp.asarray(radii, jnp.float32), need)
+        return jnp.minimum(cls, len(radii) - 1).astype(jnp.int32)
+
+    def flat_sorted_queue(rows_d, cls):
+        """(B, k) row dict -> class-sorted flat (B*k,) dict + img ids +
+        sorted classes + inverse permutation."""
+        b_sz, kk = rows_d["valid"].shape
+        flat = {
+            name: v.reshape((b_sz * kk,) + v.shape[2:])
+            for name, v in rows_d.items()
+        }
+        flat["img"] = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), kk)
+        cls = cls.reshape(-1)
+        key = jnp.where(flat["valid"], cls, jnp.int32(len_radii_max))
+        order = jnp.argsort(key, stable=True)
+        inv = jnp.argsort(order)
+        return (
+            {name: v[order] for name, v in flat.items()},
+            cls[order],
+            inv,
         )
 
+    len_radii_max = 1 << 15
     atlas = jax.vmap(lambda *gs: _grad_atlas(gs, cfg))(*gauss)
-    theta, theta2, has_second = jax.vmap(orient_image)(atlas, cand)
+    b_sz = cand["valid"].shape[0]
+
+    ocls = radius_class(cand["scl_oct"], 4.5, cfg.ori_radius_classes)
+    fq, ocls_s, inv = flat_sorted_queue(cand, ocls)
+    f_row_off = offsets[fq["octave"]]
+    f_hh = heights[fq["octave"]]
+    f_ww = widths[fq["octave"]]
+    bk = fq["valid"].shape[0]
+    theta = jnp.zeros((bk,), jnp.float32)
+    theta2 = jnp.zeros_like(theta)
+    has_second = jnp.zeros((bk,), bool)
+    for ci, radius in enumerate(cfg.ori_radius_classes):
+        pv = fq["valid"] & (ocls_s == ci)
+        t, t2, hs = _chunked_vmap(
+            lambda im, l, rr, cc, s, v, ro, h_, w_: _orientation(
+                atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
+                radius=radius, img=im,
+            ),
+            (
+                fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
+                pv, f_row_off, f_hh, f_ww,
+            ),
+            chunk=min(cfg.ori_chunk, bk),
+            valid=pv,
+        )
+        theta, theta2 = theta + t, theta2 + t2
+        has_second = has_second | hs
+    theta = theta[inv].reshape(b_sz, k)
+    theta2 = theta2[inv].reshape(b_sz, k)
+    has_second = has_second[inv].reshape(b_sz, k)
 
     # 4) secondary-orientation duplicates, re-ranked into the same budget
     if cfg.multi_orientation:
@@ -777,25 +916,31 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
         rows = dict(cand)
         rows["theta"] = theta
 
-    # 5) one descriptor pass over the final rows
-    def describe_image(atlas_im, rows_im):
-        row_off = offsets[rows_im["octave"]]
-        hh = heights[rows_im["octave"]]
-        ww = widths[rows_im["octave"]]
-        return _chunked_vmap(
-            lambda l, rr, cc, s, t, v, ro, h_, w_: _descriptor(
-                atlas_im, h_, w_, pad, l, rr, cc, s, t, v, cfg, ro
+    # 5) descriptor over the same flattened-queue layout, sorted by the
+    # descriptor radius class (desc: round(3*sqrt(2)*2.5*scl) <= class R)
+    dcls = radius_class(
+        rows["scl_oct"], 3.0 * 1.4142135623730951 * 2.5, cfg.desc_radius_classes
+    )
+    fq, dcls_s, inv = flat_sorted_queue(rows, dcls)
+    f_row_off = offsets[fq["octave"]]
+    f_hh = heights[fq["octave"]]
+    f_ww = widths[fq["octave"]]
+    desc = jnp.zeros((bk, 128), jnp.float32)
+    for ci, radius in enumerate(cfg.desc_radius_classes):
+        pv = fq["valid"] & (dcls_s == ci)
+        desc = desc + _chunked_vmap(
+            lambda im, l, rr, cc, s, t, v, ro, h_, w_: _descriptor(
+                atlas, h_, w_, pad, l, rr, cc, s, t, v, cfg, ro,
+                radius=radius, img=im,
             ),
             (
-                rows_im["layer"], rows_im["r"], rows_im["c"],
-                rows_im["scl_oct"], rows_im["theta"], rows_im["valid"],
-                row_off, hh, ww,
+                fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
+                fq["theta"], pv, f_row_off, f_hh, f_ww,
             ),
-            chunk=min(cfg.desc_chunk, k),
-            valid=rows_im["valid"],
+            chunk=min(cfg.desc_chunk, bk),
+            valid=pv,
         )
-
-    desc = jax.vmap(describe_image)(atlas, rows)
+    desc = desc[inv].reshape(b_sz, k, 128)
 
     # 6) outputs in process_size coordinates
     scale = (2.0 ** rows["octave"].astype(jnp.float32)) / (

@@ -1,0 +1,243 @@
+"""On-chip cumulative stage profile of the SIFT pipeline.
+
+Times jitted prefixes of ops/sift._sift_core (pyramid -> detect -> atlas ->
+orientation -> descriptor) fetch-synchronized (CLAUDE.md: block_until_ready
+does not synchronize on this backend; a scalar checksum fetch drains the
+queue). Per-stage cost is the difference of adjacent cumulative rows.
+
+Usage: python tools/profile_sift.py [--batch 8] [--iters 5] [--kp 2048]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--kp", type=int, default=2048)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from functools import partial
+
+    from pyvisim_tpu.ops import sift as S
+    from train_vocabularies import synthetic_corpus
+
+    cfg = S.SiftConfig(max_keypoints=args.kp)
+    imgs = synthetic_corpus(args.batch, 0, size=cfg.process_size)
+    base = np.stack(
+        [S._letterbox(i.mean(axis=2), cfg.process_size) for i in imgs]
+    )
+    base_j = jnp.asarray(base)
+
+    import math
+
+    def prefix(stage):
+        @partial(jax.jit, static_argnames=())
+        def run(bb):
+            if cfg.upscale:
+                b, s, _ = bb.shape
+                up = jax.image.resize(bb, (b, 2 * s, 2 * s), "bilinear")
+                sig_diff = math.sqrt(max(cfg.sigma**2 - 1.0, 0.01))
+            else:
+                up = bb
+                sig_diff = math.sqrt(max(cfg.sigma**2 - 0.25, 0.01))
+            base = S.gaussian_blur_batch(up, sig_diff)
+            gauss, dog = S._build_pyramids(base, cfg)
+            if stage == "pyramid":
+                return sum(jnp.sum(g[:, -1, ::7, ::7]) for g in gauss)
+            if stage == "mask":
+                prelim = math.floor(
+                    0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255
+                )
+                tot = 0.0
+                for o in range(cfg.n_octaves):
+                    m = jax.vmap(
+                        lambda d: S._extrema_mask(d, float(max(prelim, 1)))
+                    )(dog[o])
+                    tot = tot + jnp.sum(m[:, :, ::3, ::3])
+                return tot
+            if stage == "topk":
+                prelim = math.floor(
+                    0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255
+                )
+                tot = 0.0
+                for o in range(cfg.n_octaves):
+                    budget = cfg.octave_budget(o)
+
+                    def tk(dog_o, budget=budget):
+                        mask = S._extrema_mask(dog_o, float(max(prelim, 1)))
+                        score = jnp.abs(
+                            dog_o[1:-1].astype(jnp.bfloat16)
+                        ) * mask
+                        n_l, n_h, n_w = score.shape
+                        per_row = min(8, n_w)
+                        row_vals, row_idx = jax.lax.top_k(
+                            score.reshape(n_l * n_h, n_w), per_row
+                        )
+                        vals, ii = jax.lax.top_k(
+                            row_vals.reshape(-1), budget
+                        )
+                        return jnp.sum(vals.astype(jnp.float32)) + jnp.sum(ii)
+                    tot = tot + jnp.sum(jax.vmap(tk)(dog[o]))
+                return tot
+            if stage == "gather":
+                prelim = math.floor(
+                    0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255
+                )
+                tot = 0.0
+                for o in range(cfg.n_octaves):
+                    budget = cfg.octave_budget(o)
+
+                    def ga(dog_o, budget=budget):
+                        mask = S._extrema_mask(dog_o, float(max(prelim, 1)))
+                        score = jnp.abs(
+                            dog_o[1:-1].astype(jnp.bfloat16)
+                        ) * mask
+                        n_l, n_h, n_w = score.shape
+                        per_row = min(8, n_w)
+                        row_vals, row_idx = jax.lax.top_k(
+                            score.reshape(n_l * n_h, n_w), per_row
+                        )
+                        vals, ii = jax.lax.top_k(
+                            row_vals.reshape(-1), budget
+                        )
+                        row = ii // per_row
+                        l_, r_ = jnp.divmod(row, n_h)
+                        c_ = row_idx.reshape(-1)[ii]
+                        reach = cfg.refine_reach
+                        side = 2 * reach + 3
+                        dogp = jnp.pad(
+                            dog_o,
+                            ((0, 0), (reach + 1, reach + 1),
+                             (reach + 1, reach + 1)),
+                        )
+                        dogp = jnp.transpose(dogp, (1, 2, 0)).astype(
+                            jnp.dtype(cfg.refine_dtype)
+                        )
+                        pat = jax.vmap(
+                            lambda r, c: jax.lax.dynamic_slice(
+                                dogp, (r, c, 0),
+                                (side, side, dog_o.shape[0]),
+                            )
+                        )(r_.astype(jnp.int32), c_.astype(jnp.int32))
+                        return jnp.sum(pat[:, :, ::3, ::3])
+                    tot = tot + jnp.sum(jax.vmap(ga)(dog[o]))
+                return tot
+            per_octave = []
+            for o in range(cfg.n_octaves):
+                budget = cfg.octave_budget(o)
+                out = jax.vmap(lambda d: S._detect_octave(d, budget, cfg))(dog[o])
+                out["octave"] = jnp.full(out["r"].shape, o, jnp.int32)
+                per_octave.append(out)
+            merged = {
+                k: jnp.concatenate([p[k] for p in per_octave], axis=1)
+                for k in per_octave[0]
+            }
+            k = min(cfg.max_keypoints, merged["response"].shape[1])
+            _, top_idx = jax.lax.top_k(merged["response"], k)
+            cand = {
+                n: jnp.take_along_axis(v, top_idx, axis=1)
+                for n, v in merged.items()
+            }
+            if stage == "detect":
+                return jnp.sum(cand["response"]) + jnp.sum(cand["r"])
+            offsets_np, heights_np, widths_np = S._atlas_layout(cfg)
+            offsets = jnp.asarray(offsets_np, jnp.int32)
+            heights = jnp.asarray(heights_np, jnp.int32)
+            widths = jnp.asarray(widths_np, jnp.int32)
+            pad = cfg.desc_patch_radius
+            atlas = jax.vmap(lambda *gs: S._grad_atlas(gs, cfg))(*gauss)
+            if stage == "atlas":
+                return jnp.sum(atlas[:, 0, ::31, ::31, 0]) + jnp.sum(
+                    cand["response"]
+                )
+
+            # mirror _sift_core's flattened class-sorted queue
+            b_sz = cand["valid"].shape[0]
+            flat = {
+                n: v.reshape((b_sz * k,) + v.shape[2:]) for n, v in cand.items()
+            }
+            flat["img"] = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), k)
+            need = jnp.round(4.5 * flat["scl_oct"])
+            ocls = jnp.minimum(
+                jnp.searchsorted(
+                    jnp.asarray(cfg.ori_radius_classes, jnp.float32), need
+                ),
+                len(cfg.ori_radius_classes) - 1,
+            ).astype(jnp.int32)
+            key = jnp.where(flat["valid"], ocls, jnp.int32(1 << 15))
+            order = jnp.argsort(key, stable=True)
+            fq = {n: v[order] for n, v in flat.items()}
+            ocls_s = ocls[order]
+            f_ro = offsets[fq["octave"]]
+            f_hh = heights[fq["octave"]]
+            f_ww = widths[fq["octave"]]
+            bk = b_sz * k
+            theta = jnp.zeros((bk,), jnp.float32)
+            for ci, radius in enumerate(cfg.ori_radius_classes):
+                pv = fq["valid"] & (ocls_s == ci)
+                t, t2, hs = S._chunked_vmap(
+                    lambda im, l, rr, cc, s, v, ro, h_, w_: S._orientation(
+                        atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
+                        radius=radius, img=im,
+                    ),
+                    (
+                        fq["img"], fq["layer"], fq["r"], fq["c"],
+                        fq["scl_oct"], pv, f_ro, f_hh, f_ww,
+                    ),
+                    chunk=min(cfg.ori_chunk, bk),
+                    valid=pv,
+                )
+                theta = theta + t
+            if stage == "orient":
+                return jnp.sum(theta)
+            return None  # unused
+
+        return run
+
+    def timed(fn, *a):
+        out = fn(*a)
+        _ = float(np.asarray(out if out is not None else 0).sum())  # warmup+compile
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = fn(*a)
+        _ = float(np.asarray(out if out is not None else 0).sum())
+        return (time.time() - t0) / args.iters / args.batch * 1000.0
+
+    rows = []
+    for stage in ("pyramid", "mask", "topk", "gather", "detect", "atlas",
+                  "orient"):
+        ms = timed(prefix(stage), base_j)
+        rows.append((stage, ms))
+        print(f"cumulative through {stage:8s}: {ms:7.2f} ms/img", flush=True)
+
+    full = jax.jit(lambda bb: S._sift_core(bb, cfg)["desc"])
+    ms = timed(full, base_j)
+    rows.append(("full", ms))
+    print(f"cumulative through {'full':8s}: {ms:7.2f} ms/img")
+    prev = 0.0
+    print("\nper-stage deltas:")
+    for stage, ms in rows:
+        print(f"  {stage:8s}: {ms - prev:7.2f} ms/img")
+        prev = ms
+
+
+if __name__ == "__main__":
+    main()
