@@ -23,15 +23,34 @@ from ._utils import cosine_similarity
 __all__ = ["retrieve_top_k_similar", "top_k_map", "top_k_accuracy", "average_precision"]
 
 
+def _bucket_size(n: int, cap: int) -> int:
+    """Smallest power of two >= n, capped — bounds distinct jit shapes to
+    log2(cap) buckets instead of one trace per ragged remainder."""
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
 def _encode_queries(encoder, images, batch_size: int = 64) -> np.ndarray:
-    """Encode query images in device batches -> (Q, D)."""
+    """Encode query images in device batches -> (Q, D).
+
+    The trailing partial chunk is padded (by repeating its last image) up
+    to a power-of-two bucket, then the padding rows are dropped: a ragged
+    tail therefore reuses one of log2(batch_size) compiled graphs instead
+    of forcing a fresh ~20-40 s remote trace per distinct remainder."""
     if isinstance(images, np.ndarray) and images.ndim == 3:
         images = [images]
     images = list(images)
-    chunks = [
-        np.asarray(encoder.encode(images[i : i + batch_size]))
-        for i in range(0, len(images), batch_size)
-    ]
+    chunks = []
+    for i in range(0, len(images), batch_size):
+        block = images[i : i + batch_size]
+        bucket = _bucket_size(len(block), batch_size)
+        padded = block + [block[-1]] * (bucket - len(block))
+        enc = np.asarray(encoder.encode(padded))
+        if enc.ndim == 1:  # single-image encoders may return (D,)
+            enc = enc.reshape(1, -1)
+        chunks.append(enc[: len(block)])
     q = np.vstack(chunks)
     return q.reshape(1, -1) if q.ndim == 1 else q
 

@@ -11,6 +11,7 @@ from .sharded import (
     pad_to_multiple,
     sharded_cosine_similarity,
     sharded_encode,
+    sharded_sift_batch,
 )
 from .train import make_sharded_trainer, shard_train_state
 
@@ -26,6 +27,7 @@ __all__ = [
     "pad_to_multiple",
     "sharded_cosine_similarity",
     "sharded_encode",
+    "sharded_sift_batch",
     "cluster_sharded_vlad_encode",
     "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",

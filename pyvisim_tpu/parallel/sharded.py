@@ -32,6 +32,7 @@ __all__ = [
     "pad_to_multiple",
     "sharded_cosine_similarity",
     "sharded_encode",
+    "sharded_sift_batch",
     "cluster_sharded_vlad_encode",
     "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",
@@ -91,6 +92,47 @@ def sharded_encode(encode_fn, desc, mask, clustering_model, pca, mesh: Mesh):
         out_shardings=data_sharding(mesh, 2),
     )
     return fn(d, m, clustering_model, pca)[:b]
+
+
+def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
+    """Data-parallel SIFT detect+describe: each device runs the full
+    static-shape pipeline (``ops.sift._sift_core``) on its shard of the
+    letterboxed image batch — embarrassingly parallel ``shard_map`` over
+    'data', no collectives. The L2 feature layer's multi-chip path
+    (reference anchor: the serial per-image ``detectAndCompute`` loop in
+    pyvisim/features/_features.py:78-83).
+
+    :param grays: list of (H, W) uint8/float grayscale images (any sizes).
+    :return: (desc (B, N, 128), mask (B, N)) for the original batch size.
+    """
+    import numpy as np
+
+    from ..ops import sift as sift_ops
+
+    cfg = cfg or sift_ops.SiftConfig()
+    base = np.stack(
+        [sift_ops._letterbox(np.asarray(g), cfg.process_size) for g in grays]
+    )
+    n_data = mesh.shape["data"]
+    base_j, b = pad_to_multiple(jnp.asarray(base), n_data)
+
+    local = partial(sift_ops._sift_core, cfg=cfg)
+    spec = P("data")
+    out_keys = ("desc", "x", "y", "size", "theta", "response", "mask")
+    fn = jax.jit(
+        shard_map(
+            local, mesh=mesh, in_specs=(spec,),
+            out_specs={name: spec for name in out_keys},
+            # no collectives in the kernel; the varying-axes checker trips
+            # on replicated fori_loop carry inits inside the refinement
+            check_vma=False,
+        )
+    )
+    out = fn(base_j)
+    desc, mask = out["desc"][:b], out["mask"][:b]
+    if root_sift:
+        desc = sift_ops._apply_root_sift(desc) * mask[..., None]
+    return desc, mask
 
 
 # ---------------------------------------------------------------------------

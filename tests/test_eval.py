@@ -121,3 +121,27 @@ def test_eval_with_mesh_matches_no_mesh(retrieval_setup):
     c = top_k_accuracy(images, q_labels, emap, plabels, enc, k=3)
     d = top_k_accuracy(images, q_labels, emap, plabels, enc, k=3, mesh=mesh)
     assert c == d
+
+
+def test_encode_queries_bucketed_padding(retrieval_setup):
+    """Ragged tails pad to power-of-two buckets; results identical and the
+    encoder only ever sees log2(batch_size) distinct batch shapes."""
+    from pyvisim_tpu.eval import _bucket_size, _encode_queries
+
+    assert [_bucket_size(n, 8) for n in (1, 2, 3, 5, 8, 9, 64)] == [
+        1, 2, 4, 8, 8, 8, 8,
+    ]
+
+    encoder, images, *_ , q_vecs, _, _ = retrieval_setup
+    seen_shapes = []
+    real_encode = encoder.encode
+
+    def spy(imgs):
+        seen_shapes.append(len(imgs))
+        return real_encode(imgs)
+
+    encoder.encode = spy
+    out = _encode_queries(encoder, images[:7], batch_size=4)
+    np.testing.assert_allclose(out, q_vecs[:7])
+    # 7 images -> one full chunk of 4, then a 3-tail padded to bucket 4
+    assert seen_shapes == [4, 4]

@@ -258,3 +258,32 @@ def test_init_distributed_single_process_noop(monkeypatch):
     monkeypatch.delenv("PYVISIM_NUM_PROCESSES", raising=False)
     assert init_distributed() is False
     assert init_distributed(num_processes=1) is False
+
+
+def test_sharded_sift_matches_single(mesh, rng):
+    """Data-parallel SIFT over the 8-device mesh must match the
+    single-device kernel exactly (same static-shape program per shard)."""
+    from pyvisim_tpu.ops import sift as sift_ops
+    from pyvisim_tpu.parallel import sharded_sift_batch
+
+    cfg = sift_ops.SiftConfig(process_size=128, max_keypoints=256)
+    # 6 textured images (non-multiple of 8 exercises padding)
+    grays = [
+        (rng.random((100 + 7 * i, 120)) * 255).astype(np.uint8)
+        for i in range(6)
+    ]
+    d_sh, m_sh = sharded_sift_batch(grays, mesh, cfg=cfg)
+    d_ref, m_ref = sift_ops.sift_batch(
+        grays, max_keypoints=cfg.max_keypoints, cfg=cfg
+    )
+    assert d_sh.shape == d_ref.shape == (6, 256, 128)
+    np.testing.assert_array_equal(np.asarray(m_sh), np.asarray(m_ref))
+    np.testing.assert_allclose(
+        np.asarray(d_sh), np.asarray(d_ref), rtol=1e-5, atol=1e-4
+    )
+
+    # root_sift path stays l2-normalized per valid row
+    d_r, m_r = sharded_sift_batch(grays[:2], mesh, cfg=cfg, root_sift=True)
+    valid = np.asarray(m_r[0]) > 0.5
+    norms = np.linalg.norm(np.asarray(d_r[0])[valid], axis=1)
+    assert norms.size and np.allclose(norms, 1.0, atol=1e-3)
