@@ -28,6 +28,21 @@ logger = get_logger("features")
 
 __all__ = ["SIFT", "RootSIFT", "Lambda", "DeepConvFeature", "FeatureExtractorBase"]
 
+# Geometric ladder (~1.2x steps) of zero-padding side lengths for ragged
+# image preprocessing: distinct jit traces are bounded by the ladder size
+# instead of one ~20-40 s remote compile per distinct photo shape.
+_SIZE_LADDER = (
+    32, 48, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512,
+    640, 768, 896, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 4096,
+)
+
+
+def _bucket_side(n: int) -> int:
+    for s in _SIZE_LADDER:
+        if s >= n:
+            return s
+    return n  # beyond the ladder: dedicated trace for pathological sizes
+
 
 def _check_output_shape(func) -> Callable:
     """Ensure extractor output is a 2-D numpy array of shape (N, output_dim).
@@ -316,6 +331,7 @@ class DeepConvFeature(FeatureExtractorBase):
         # Split stages for ragged batches: one cached trace per input shape
         # for the resize, one shared trace for the trunk.
         self._jit_preprocess = jax.jit(self.transform or self._preprocess)
+        self._jit_preprocess_bucketed = jax.jit(self._preprocess_bucketed)
         self._jit_forward_features = jax.jit(self._forward_features)
 
     def list_conv_layers(self):
@@ -347,17 +363,67 @@ class DeepConvFeature(FeatureExtractorBase):
         hf = self.image_size // (2**n_pools_before)
         return hf * hf
 
+    def _resize_masked(
+        self, x: jnp.ndarray, oh, ow, padded: bool = False
+    ) -> jnp.ndarray:
+        """(B, BH, BW, C) float with valid region (oh, ow) -> (B, S, S, C).
+
+        ``jax.image.resize``-equivalent antialiased linear resampling via
+        ``scale_and_translate`` with *dynamic* source extent: when the
+        input is zero-padded past (oh, ow), dividing by the identically
+        resampled ones-mask renormalizes the separable kernel over the
+        valid region — numerically identical (float noise) to resizing
+        the unpadded image, so one compiled graph serves every original
+        shape that shares a padding bucket."""
+        s = self.image_size
+        b, bh, bw, c = x.shape
+        scale = jnp.stack(
+            [s / jnp.asarray(oh, jnp.float32), s / jnp.asarray(ow, jnp.float32)]
+        ).astype(x.dtype)
+        zero = jnp.zeros((2,), x.dtype)
+        out = jax.image.scale_and_translate(
+            x, (b, s, s, c), (1, 2), scale, zero,
+            method="linear", antialias=True,
+        )
+        if not padded:
+            return out
+        rr = (jnp.arange(bh) < oh).astype(x.dtype)
+        cc = (jnp.arange(bw) < ow).astype(x.dtype)
+        mask = (rr[:, None] * cc[None, :])[None, :, :, None]
+        m_out = jax.image.scale_and_translate(
+            mask, (1, s, s, 1), (1, 2), scale, zero,
+            method="linear", antialias=True,
+        )
+        return out / jnp.maximum(m_out, jnp.asarray(1e-12, x.dtype))
+
     def _preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
         """uint8/float HWC batch -> (B, S, S, 3) float in [0, 1], bilinear
         resize with antialiasing (torchvision Resize-on-tensor parity)."""
         x = images.astype(self.dtype) / 255.0
         if x.shape[1] != self.image_size or x.shape[2] != self.image_size:
-            x = jax.image.resize(
-                x,
-                (x.shape[0], self.image_size, self.image_size, 3),
-                method="bilinear",
-            )
+            x = self._resize_masked(x, x.shape[1], x.shape[2])
         return x
+
+    def _preprocess_bucketed(self, x: jnp.ndarray, oh, ow) -> jnp.ndarray:
+        """Zero-padded raw (B, BH, BW, 3) + dynamic original dims ->
+        (B, S, S, 3); compiled once per padding bucket."""
+        return self._resize_masked(
+            x.astype(self.dtype) / 255.0, oh, ow, padded=True
+        )
+
+    def _prep_ragged(self, img: np.ndarray) -> jnp.ndarray:
+        """One raw image of ANY shape -> (1, S, S, 3), bounding distinct
+        jit traces to the padding-bucket ladder instead of one ~20-40 s
+        remote compile per distinct photo shape (mixed-size corpora)."""
+        h, w = img.shape[:2]
+        bh, bw = _bucket_side(h), _bucket_side(w)
+        if (bh, bw) == (h, w):
+            return self._jit_preprocess(jnp.asarray(img)[None])
+        padded = np.zeros((bh, bw) + img.shape[2:], img.dtype)
+        padded[:h, :w] = img
+        return self._jit_preprocess_bucketed(
+            jnp.asarray(padded)[None], jnp.float32(h), jnp.float32(w)
+        )
 
     def _forward(self, images: jnp.ndarray) -> jnp.ndarray:
         """(B, H, W, 3) raw -> (B, Hf*Wf, D) descriptors."""
@@ -384,7 +450,14 @@ class DeepConvFeature(FeatureExtractorBase):
     @_check_output_shape
     def __call__(self, image: np.ndarray) -> np.ndarray:
         super().__call__(image)
-        desc = self._jit_forward(jnp.asarray(image)[None])
+        if self.transform is not None:
+            desc = self._jit_forward(jnp.asarray(image)[None])
+        else:
+            # bucketed resize first: a per-shape trace here is just the
+            # resize graph, not a fresh compile of the whole trunk
+            desc = self._jit_forward_features(
+                self._prep_ragged(np.asarray(image))
+            )
         return np.asarray(desc[0])
 
     def extract_batch(self, images):
@@ -399,13 +472,17 @@ class DeepConvFeature(FeatureExtractorBase):
                 batch = jnp.asarray(np.stack([np.asarray(i) for i in images]))
             else:
                 # Ragged sizes: preprocess per image with the SAME on-device
-                # bilinear path as `_preprocess` (one cached jit trace per
-                # distinct input shape), so an image produces identical
-                # descriptors regardless of the batch it arrives in.
-                pre = [
-                    self._jit_preprocess(jnp.asarray(np.asarray(i))[None])
-                    for i in images
-                ]
+                # antialiased-linear path as `_preprocess` (bucket-padded, so
+                # traces are bounded by the size ladder), so an image
+                # produces identical descriptors regardless of the batch it
+                # arrives in.
+                if self.transform is not None:
+                    pre = [
+                        self._jit_preprocess(jnp.asarray(np.asarray(i))[None])
+                        for i in images
+                    ]
+                else:
+                    pre = [self._prep_ragged(np.asarray(i)) for i in images]
                 desc = self._jit_forward_features(jnp.concatenate(pre, axis=0))
                 mask = jnp.ones(desc.shape[:2], self.dtype)
                 return desc, mask

@@ -197,6 +197,28 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
     return mask & border[None, :, :]
 
 
+def _gather_refine_patches(dog, cand_r, cand_c, cfg: SiftConfig):
+    """(N, side, side, L+2) local DoG patches around integer candidates.
+
+    The DoG is transposed to layer-minor (H, W, L) first: the patch
+    gather is segment-latency-bound (thousands of vmapped dynamic
+    slices), and in this layout each patch row's (col, layer) block is
+    ONE contiguous side*(L+2)-element run — 5x fewer segments per
+    candidate than the (L, H, W) layout, for one cheap dense transpose.
+    ``patch[n, i, j, l] = dog[l, r_n - reach - 1 + i, c_n - reach - 1 + j]``.
+    """
+    reach = cfg.refine_reach
+    side = 2 * reach + 3
+    n_total = dog.shape[0]
+    dogp = jnp.pad(dog, ((0, 0), (reach + 1, reach + 1), (reach + 1, reach + 1)))
+    dogp = jnp.transpose(dogp, (1, 2, 0)).astype(jnp.dtype(cfg.refine_dtype))
+
+    def patch_one(r, c):
+        return jax.lax.dynamic_slice(dogp, (r, c, 0), (side, side, n_total))
+
+    return jax.vmap(patch_one)(cand_r, cand_c)
+
+
 def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftConfig):
     """Iterative quadratic subpixel refinement (OpenCV adjustLocalExtrema).
 
@@ -227,20 +249,8 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     side = 2 * reach + 3  # patch side: interior +-reach, stencil halo +-1
     isz = side - 2  # stencil-evaluable interior side
 
-    # 1) one local patch per candidate from the spatially padded DoG.
-    # The DoG is transposed to layer-minor (H, W, L) first: the patch
-    # gather is segment-latency-bound (thousands of vmapped dynamic
-    # slices), and in this layout each patch row's (col, layer) block is
-    # ONE contiguous side*(L+2)-element run — 5x fewer segments per
-    # candidate than the (L, H, W) layout, for one cheap dense transpose.
-    dogp = jnp.pad(dog, ((0, 0), (reach + 1, reach + 1), (reach + 1, reach + 1)))
-    dogp = jnp.transpose(dogp, (1, 2, 0)).astype(jnp.dtype(cfg.refine_dtype))
-
-    def patch_one(r, c):
-        # patch[i, j, l] = dog[l, r - reach - 1 + i, c - reach - 1 + j]
-        return jax.lax.dynamic_slice(dogp, (r, c, 0), (side, side, n_total))
-
-    patches = jax.vmap(patch_one)(cand_r, cand_c)  # (N, side, side, L+2)
+    # 1) one local patch per candidate (see _gather_refine_patches)
+    patches = _gather_refine_patches(dog, cand_r, cand_c, cfg)
 
     # 2) per-iteration 3x3x3 cube select via rank-1 one-hot contractions.
     # An earlier cut precomputed all 10 derivative stencils densely over
@@ -686,9 +696,12 @@ def _chunked_vmap(fn, args, chunk: int, valid=None):
     )
 
 
-def _detect_octave(dog_o, budget, cfg: SiftConfig):
-    """Single-image octave detection (no orientation/descriptors here).
-    dog_o (L+2, H, W) -> dict of per-candidate arrays (budget,)."""
+def _rank_candidates(dog_o, budget: int, cfg: SiftConfig):
+    """Extrema mask + bf16 scoring + hierarchical top-k over one octave
+    (the pre-refinement detection prefix; shared with the stage profiler).
+
+    dog_o (L+2, H, W) -> (vals, layer, r, c, valid), each (<=budget,).
+    """
     prelim = math.floor(0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255)
     mask = _extrema_mask(dog_o, float(max(prelim, 1)))  # (L, H, W)
     # bf16 scoring halves the top-k bandwidth; ranking ties among
@@ -699,8 +712,11 @@ def _detect_octave(dog_o, budget, cfg: SiftConfig):
     # (3.1M elements at 1024²) is a large sort; instead take the top-8
     # per (layer, row) — 3x3x3 extrema are >= 2 px apart, so 8 per 1024-px
     # row drops only pathological rows, and those by weakest-first — then
-    # rank the ~L*H*8 survivors globally.
+    # rank the ~L*H*8 survivors globally. The global budget is clamped to
+    # the surviving pool (a large max_keypoints at a small process_size
+    # would otherwise ask top_k for more rows than exist).
     per_row = min(8, n_w)
+    budget = min(budget, n_l * n_h * per_row)
     row_vals, row_idx = jax.lax.top_k(score.reshape(n_l * n_h, n_w), per_row)
     vals, ii = jax.lax.top_k(row_vals.reshape(-1), budget)
     row = ii // per_row
@@ -708,9 +724,16 @@ def _detect_octave(dog_o, budget, cfg: SiftConfig):
     c_ = row_idx.reshape(-1)[ii]
     valid = vals > 0
     layer = (l_ + 1).astype(jnp.int32)
+    return vals, layer, r_.astype(jnp.int32), c_.astype(jnp.int32), valid
+
+
+def _detect_octave(dog_o, budget, cfg: SiftConfig):
+    """Single-image octave detection (no orientation/descriptors here).
+    dog_o (L+2, H, W) -> dict of per-candidate arrays (budget,)."""
+    vals, layer, r_, c_, valid = _rank_candidates(dog_o, budget, cfg)
 
     layer, r, c, xr, xc, xi, contr, ok = _refine_candidates(
-        dog_o, layer, r_.astype(jnp.int32), c_.astype(jnp.int32), valid, cfg
+        dog_o, layer, r_, c_, valid, cfg
     )
     scl_oct = cfg.sigma * 2.0 ** ((layer.astype(jnp.float32) + xi) / cfg.n_octave_layers)
     return {

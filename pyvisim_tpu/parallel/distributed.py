@@ -66,7 +66,10 @@ def init_distributed(
     process_id = (
         process_id if process_id is not None else _env_int("PYVISIM_PROCESS_ID")
     )
-    if coordinator_address is None and (num_processes is None or num_processes == 1):
+    # An explicit num_processes=1 always means single-process — even when a
+    # coordinator address is (stray) in the environment; callers use this to
+    # make dryruns environment-independent.
+    if num_processes == 1 or (coordinator_address is None and num_processes is None):
         logger.info("single-process run; skipping jax.distributed.initialize")
         return False
     jax.distributed.initialize(

@@ -347,17 +347,22 @@ def _lloyd_stats_local(x, mask, centers):
     return sums, counts, inertia, cand_pts, cand_vals
 
 
-def _relocate_empty(centers, means, counts, cand_pts, cand_vals):
+def _relocate_empty(means, counts, cand_pts, cand_vals):
     """sklearn-style empty-cluster handling: send empty clusters to the
     highest-cost points available (one candidate per device per iteration;
-    deeper degeneracies resolve over subsequent iterations)."""
+    deeper degeneracies resolve over subsequent iterations). ``means``
+    already carries the keep-old-center fallback for untaken rows."""
     empty = counts <= 0
     order = jnp.argsort(-cand_vals)
     cand_sorted = cand_pts[order]
+    vals_sorted = cand_vals[order]
     rank = jnp.cumsum(empty.astype(jnp.int32)) - 1  # per-empty ordinal
     n_cand = cand_pts.shape[0]
-    take = empty & (rank < n_cand)
-    picked = cand_sorted[jnp.clip(rank, 0, n_cand - 1)]
+    rank_c = jnp.clip(rank, 0, n_cand - 1)
+    # a shard holding only pad_to_multiple padding contributes a zero-cost
+    # candidate (the all-zeros row) — never relocate onto those
+    take = empty & (rank < n_cand) & (vals_sorted[rank_c] > 0)
+    picked = cand_sorted[rank_c]
     return jnp.where(take[:, None], picked, means)
 
 
@@ -413,7 +418,7 @@ def distributed_kmeans_fit(
                 sums / jnp.maximum(counts[:, None], 1.0),
                 centers,
             )
-            new_centers = _relocate_empty(centers, means, counts, cand_pts, cand_vals)
+            new_centers = _relocate_empty(means, counts, cand_pts, cand_vals)
             return new_centers, inertia
 
         return jax.lax.fori_loop(0, n_iters, body, (centers, jnp.float32(0.0)))

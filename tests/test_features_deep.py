@@ -194,3 +194,37 @@ def test_deep_conv_feature_ragged_batch_matches_uniform():
         np.testing.assert_allclose(
             np.asarray(desc[i]), ext(img), rtol=1e-4, atol=1e-5
         )
+
+
+def test_ragged_preprocessing_buckets_shapes():
+    """Odd photo shapes funnel into ladder buckets: the device only ever
+    sees log-many padded shapes (bounding remote compiles), and two
+    different original sizes in one bucket share the padded shape."""
+    from pyvisim_tpu.features._features import _bucket_side
+
+    assert [_bucket_side(n) for n in (1, 64, 65, 81, 200, 4097)] == [
+        32, 64, 80, 96, 224, 4097,
+    ]
+
+    ext = DeepConvFeature(image_size=64, spatial_encoding=False)
+    seen = []
+    real = ext._jit_preprocess_bucketed
+
+    def spy(x, oh, ow):
+        seen.append(tuple(x.shape))
+        return real(x, oh, ow)
+
+    ext._jit_preprocess_bucketed = spy
+    rng = np.random.default_rng(0)
+    imgs = [
+        (rng.random((70, 90, 3)) * 255).astype(np.uint8),
+        (rng.random((79, 83, 3)) * 255).astype(np.uint8),  # same buckets
+        (rng.random((130, 60, 3)) * 255).astype(np.uint8),
+    ]
+    desc, _ = ext.extract_batch(imgs)
+    assert seen == [(1, 80, 96, 3), (1, 80, 96, 3), (1, 160, 64, 3)]
+    # and the bucketed path still matches the per-image reference values
+    for i, img in enumerate(imgs):
+        np.testing.assert_allclose(
+            np.asarray(desc[i]), ext(img), rtol=1e-4, atol=1e-5
+        )

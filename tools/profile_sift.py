@@ -74,69 +74,27 @@ def main() -> None:
                     tot = tot + jnp.sum(m[:, :, ::3, ::3])
                 return tot
             if stage == "topk":
-                prelim = math.floor(
-                    0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255
-                )
                 tot = 0.0
                 for o in range(cfg.n_octaves):
                     budget = cfg.octave_budget(o)
 
                     def tk(dog_o, budget=budget):
-                        mask = S._extrema_mask(dog_o, float(max(prelim, 1)))
-                        score = jnp.abs(
-                            dog_o[1:-1].astype(jnp.bfloat16)
-                        ) * mask
-                        n_l, n_h, n_w = score.shape
-                        per_row = min(8, n_w)
-                        row_vals, row_idx = jax.lax.top_k(
-                            score.reshape(n_l * n_h, n_w), per_row
+                        vals, layer, r_, c_, valid = S._rank_candidates(
+                            dog_o, budget, cfg
                         )
-                        vals, ii = jax.lax.top_k(
-                            row_vals.reshape(-1), budget
-                        )
-                        return jnp.sum(vals.astype(jnp.float32)) + jnp.sum(ii)
+                        return jnp.sum(vals.astype(jnp.float32)) + jnp.sum(r_)
                     tot = tot + jnp.sum(jax.vmap(tk)(dog[o]))
                 return tot
             if stage == "gather":
-                prelim = math.floor(
-                    0.5 * cfg.contrast_threshold / cfg.n_octave_layers * 255
-                )
                 tot = 0.0
                 for o in range(cfg.n_octaves):
                     budget = cfg.octave_budget(o)
 
                     def ga(dog_o, budget=budget):
-                        mask = S._extrema_mask(dog_o, float(max(prelim, 1)))
-                        score = jnp.abs(
-                            dog_o[1:-1].astype(jnp.bfloat16)
-                        ) * mask
-                        n_l, n_h, n_w = score.shape
-                        per_row = min(8, n_w)
-                        row_vals, row_idx = jax.lax.top_k(
-                            score.reshape(n_l * n_h, n_w), per_row
+                        vals, layer, r_, c_, valid = S._rank_candidates(
+                            dog_o, budget, cfg
                         )
-                        vals, ii = jax.lax.top_k(
-                            row_vals.reshape(-1), budget
-                        )
-                        row = ii // per_row
-                        l_, r_ = jnp.divmod(row, n_h)
-                        c_ = row_idx.reshape(-1)[ii]
-                        reach = cfg.refine_reach
-                        side = 2 * reach + 3
-                        dogp = jnp.pad(
-                            dog_o,
-                            ((0, 0), (reach + 1, reach + 1),
-                             (reach + 1, reach + 1)),
-                        )
-                        dogp = jnp.transpose(dogp, (1, 2, 0)).astype(
-                            jnp.dtype(cfg.refine_dtype)
-                        )
-                        pat = jax.vmap(
-                            lambda r, c: jax.lax.dynamic_slice(
-                                dogp, (r, c, 0),
-                                (side, side, dog_o.shape[0]),
-                            )
-                        )(r_.astype(jnp.int32), c_.astype(jnp.int32))
+                        pat = S._gather_refine_patches(dog_o, r_, c_, cfg)
                         return jnp.sum(pat[:, :, ::3, ::3])
                     tot = tot + jnp.sum(jax.vmap(ga)(dog[o]))
                 return tot

@@ -98,6 +98,7 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -138,10 +139,9 @@ def main() -> None:
         pca_path = pca_paths[family]
         if pca_path.exists():
             pca = cb.load_codebook(pca_path)
-            projected = np.asarray(
-                (desc - np.asarray(pca.mean)) @ np.asarray(pca.components).T,
-                np.float32,
-            )
+            # project through the projector itself (not a re-implementation)
+            # so the whiten flag / variance scaling match encode time exactly
+            projected = np.asarray(pca(jnp.asarray(desc)), np.float32)
             variants["pca"] = (projected, pca)
         else:
             print(f"  (no PCA artifact at {pca_path.name}; skipping pca variant)")
