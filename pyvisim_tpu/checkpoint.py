@@ -49,7 +49,11 @@ def latest_step(directory: str) -> int | None:
 
 def restore_train_state(directory: str, target: Any, step: int | None = None) -> Any:
     """Restore the latest (or a specific) checkpoint into ``target``'s
-    structure (pass a template TrainState from ``create_train_state``)."""
+    structure (pass a template TrainState from ``create_train_state``).
+
+    Multi-chip resume: restore host-side with this function, then re-apply
+    the mesh placement with ``parallel.shard_train_state(state, mesh)``
+    (tested in test_parallel.py::test_sharded_checkpoint_resume)."""
     if step is None:
         step = latest_step(directory)
         if step is None:

@@ -287,3 +287,36 @@ def test_sharded_sift_matches_single(mesh, rng):
     valid = np.asarray(m_r[0]) > 0.5
     norms = np.linalg.norm(np.asarray(d_r[0])[valid], axis=1)
     assert norms.size and np.allclose(norms, 1.0, atol=1e-3)
+
+
+def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
+    """Production resume: save a DP-sharded TrainState, restore it into a
+    freshly built trainer (new-process analog), re-apply the mesh
+    shardings, and continue training (SURVEY §5 checkpoint/resume row)."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.checkpoint import restore_train_state, save_train_state
+    from pyvisim_tpu.parallel import make_sharded_trainer, shard_train_state
+
+    kw = dict(cfg_name="vgg11", embed_dim=16, trunk_convs=1, image_size=16)
+    _, state, step_fn = make_sharded_trainer(mesh, **kw)
+    images = jnp.asarray(rng.random((8, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray([0, 1] * 4)
+    state, _ = step_fn(state, images, labels)
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, state)
+
+    _, template, step2 = make_sharded_trainer(mesh, **kw)
+    restored = shard_train_state(restore_train_state(d, template), mesh)
+    assert int(restored.step) == 1
+    for x, y in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(restored.params),
+    ):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+    # restored leaves actually live on the mesh
+    leaf = jax.tree_util.tree_leaves(restored.params)[0]
+    assert getattr(leaf.sharding, "mesh", None) is not None
+    restored, loss = step2(restored, images, labels)
+    assert np.isfinite(float(loss))
+    assert int(restored.step) == 2
