@@ -15,7 +15,8 @@ Prints ONE JSON line:
 numbers).
 
 Env knobs: PYVISIM_BENCH_BATCH (default 128), PYVISIM_BENCH_DTYPE
-(bfloat16|float32, default bfloat16), PYVISIM_BENCH_STEPS (default 20),
+(int8|bfloat16|float32, default int8 — bf16 trunk with the MXU-bound
+middle convs on the chip's int8 path), PYVISIM_BENCH_STEPS (default 20),
 PYVISIM_BENCH_METRIC=throughput|latency (default throughput; latency
 measures p50 single-query encode + gallery-search time, the BASELINE.md
 "p50 query latency" row).
@@ -98,11 +99,16 @@ def main() -> None:
 
     batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "128"))
     steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "120"))
-    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    # Default int8: MXU-bound middle convs ride the chip's int8 path (2x
+    # bf16 peak), gated by the same >0.999 encoding-cosine fidelity test
+    # as bf16 (tests/test_features_deep.py). bf16/float32 modes remain
+    # for parity measurement.
+    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "int8")
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
 
     ext = DeepConvFeature(
-        cfg_name="vgg16", image_size=224, spatial_encoding=True, dtype=dtype
+        cfg_name="vgg16", image_size=224, spatial_encoding=True, dtype=dtype,
+        int8=(dtype_name == "int8"),
     )
     rng = np.random.default_rng(0)
     centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))

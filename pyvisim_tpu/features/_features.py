@@ -276,6 +276,7 @@ class DeepConvFeature(FeatureExtractorBase):
         transform: Callable | None = None,
         dtype: Any = jnp.float32,
         module: Any = None,
+        int8: bool = False,
     ):
         super().__init__()
         self.cfg_name = cfg_name
@@ -304,7 +305,8 @@ class DeepConvFeature(FeatureExtractorBase):
             c = out.shape[3]
         else:
             self._model = vgg_lib.VGGConvFeatures(
-                cfg_name=cfg_name, layer_index=layer_index, dtype=dtype
+                cfg_name=cfg_name, layer_index=layer_index, dtype=dtype,
+                int8=int8,
             )
             if params is None:
                 logger.warning(

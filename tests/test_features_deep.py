@@ -228,3 +228,34 @@ def test_ragged_preprocessing_buckets_shapes():
         np.testing.assert_allclose(
             np.asarray(desc[i]), ext(img), rtol=1e-4, atol=1e-5
         )
+
+
+def test_int8_trunk_encoding_cosine_vs_f32():
+    """The int8 MXU bench mode must encode to near-identical VLAD vectors
+    as the f32 parity graph — the same >0.999 cosine gate the bf16 mode
+    passes, so the 6.4k img/s headline and the correctness story describe
+    the same graph."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.models import vgg as vgg_lib
+    from pyvisim_tpu.ops.vlad import vlad_encode
+
+    rng = np.random.default_rng(0)
+    img = (rng.random((1, 224, 224, 3)) * 255).astype(np.uint8)
+    params = vgg_lib.init_params("vgg16", -1, seed=0, image_size=224)
+
+    encodings = {}
+    centers = jnp.asarray(rng.normal(size=(64, 514)).astype(np.float32))
+    for name, kw in (
+        ("float32", dict(dtype=jnp.float32)),
+        ("int8", dict(dtype=jnp.bfloat16, int8=True)),
+    ):
+        ext = DeepConvFeature(
+            cfg_name="vgg16", params=params, image_size=224,
+            spatial_encoding=True, **kw,
+        )
+        desc = np.asarray(ext._forward(jnp.asarray(img)), np.float32)
+        vec = np.asarray(vlad_encode(jnp.asarray(desc[0]), None, centers))
+        encodings[name] = vec / max(np.linalg.norm(vec), 1e-12)
+    cos = float(np.dot(encodings["float32"], encodings["int8"]))
+    assert cos > 0.999, f"int8 trunk encoding cosine {cos} vs f32"
