@@ -39,9 +39,12 @@ def latency_main() -> None:
     from pyvisim_tpu.features import DeepConvFeature
     from pyvisim_tpu.ops.vlad import vlad_encode
 
-    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "bfloat16")
-    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    ext = DeepConvFeature(cfg_name="vgg16", image_size=224, dtype=dtype)
+    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "int8")
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    ext = DeepConvFeature(
+        cfg_name="vgg16", image_size=224, dtype=dtype,
+        int8=(dtype_name == "int8"),
+    )
     rng = np.random.default_rng(0)
     centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
     # generate the 6149 x 131584 gallery on-device (a ~3 GB host transfer

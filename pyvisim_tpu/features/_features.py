@@ -264,6 +264,10 @@ class DeepConvFeature(FeatureExtractorBase):
         returns a ``(B, Hf, Wf, C)`` feature map — the TPU-native analog of
         the reference's arbitrary torch model + ``target_submodule`` hook
         (reference _features.py:177-211); requires ``params``.
+    :param int8: route the MXU-bound middle VGG convs through the chip's
+        int8 path (dynamic symmetric quantization; ~1.26x end-to-end with
+        trunk-encoding cosine vs f32 > 0.999 — see models/vgg.py and
+        docs/PERF.md). Ignored for custom modules.
     """
 
     def __init__(
