@@ -30,6 +30,47 @@ import time
 import numpy as np
 
 
+def sift_main() -> None:
+    """SIFT detect+describe throughput (512² letterbox, 2048-kp budget,
+    multi-orientation) — the reference's OpenCV host path runs ~20 img/s
+    on one core (PYVISIM_BENCH_METRIC=sift)."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from train_vocabularies import synthetic_corpus
+
+    from pyvisim_tpu.ops import sift as S
+
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "8"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "20"))
+    cfg = S.SiftConfig()
+    imgs = synthetic_corpus(batch, 0, size=cfg.process_size)
+    base = jnp.asarray(
+        np.stack([S._letterbox(i.mean(axis=2), cfg.process_size) for i in imgs])
+    )
+    full = jax.jit(lambda bb: S._sift_core(bb, cfg)["desc"])
+    _ = float(np.asarray(full(base)).sum())  # compile + sync
+    t0 = time.time()
+    for _ in range(steps):
+        out = full(base)
+    _ = float(np.asarray(out).sum())  # drain the in-order queue
+    img_s = batch * steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "sift_detect_describe_throughput",
+                "value": round(img_s, 1),
+                "unit": "images/sec/chip",
+                # the reference's serial OpenCV path: ~20 img/s on one core
+                "vs_baseline": round(img_s / 20.0, 3),
+            }
+        )
+    )
+
+
 def latency_main() -> None:
     """p50 end-to-end query latency: encode ONE image (VGG16 -> VLAD-k256)
     and rank it against a 6,149-vector gallery (Oxford-102 train size)."""
@@ -91,8 +132,12 @@ def latency_main() -> None:
 
 
 def main() -> None:
-    if os.environ.get("PYVISIM_BENCH_METRIC", "throughput") == "latency":
+    metric = os.environ.get("PYVISIM_BENCH_METRIC", "throughput")
+    if metric == "latency":
         latency_main()
+        return
+    if metric == "sift":
+        sift_main()
         return
     import jax
     import jax.numpy as jnp
