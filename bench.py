@@ -44,8 +44,9 @@ def sift_main() -> None:
 
     from pyvisim_tpu.ops import sift as S
 
-    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "8"))
-    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "20"))
+    # batch 16 measures best (8: 52.9, 16: 60.1, 32: 53.5 img/s)
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "16"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "10"))
     cfg = S.SiftConfig()
     imgs = synthetic_corpus(batch, 0, size=cfg.process_size)
     base = jnp.asarray(
