@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 
 import jax
@@ -1005,13 +1006,34 @@ def sift_descriptors(
 
     The batch is padded up to a power-of-two bucket so ragged batch sizes
     reuse a handful of compiled programs instead of recompiling per size
-    (first TPU compile of this graph is tens of seconds).
+    (first TPU compile of this graph is tens of seconds). Batches larger
+    than ``device_batch`` run as a sequence of device calls: the
+    cross-octave gradient atlas is ~35 MB/image at 512², so an unbounded
+    batch would exhaust HBM — and 16/device-call is also the measured
+    throughput sweet spot (docs/PERF.md).
     """
     cfg = cfg or SiftConfig()
     if isinstance(grays, np.ndarray) and grays.ndim == 2:
         grays = [grays]
     base = np.stack([_letterbox(np.asarray(g), cfg.process_size) for g in grays])
     b = base.shape[0]
+    device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
+    if b > device_batch:
+        chunks = [
+            sift_descriptors(
+                [base[i + j] for j in range(min(device_batch, b - i))],
+                cfg,
+                root_sift=False,
+            )
+            for i in range(0, b, device_batch)
+        ]
+        out = {
+            k: jnp.concatenate([c[k] for c in chunks], axis=0)
+            for k in chunks[0]
+        }
+        if root_sift:
+            out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
+        return out
     bucket = 1 << max(0, (b - 1).bit_length())
     if bucket != b:
         base = np.concatenate(

@@ -181,3 +181,21 @@ def test_real_photograph_parity():
     assert len(cosines) > 100
     assert np.median(cosines) > 0.95
     assert (cosines > 0.8).mean() > 0.85
+
+
+def test_sift_batch_chunks_large_batches(monkeypatch):
+    """Batches beyond the device-batch cap split into multiple device
+    calls (bounding the ~35 MB/img atlas HBM footprint) with identical
+    results."""
+    from pyvisim_tpu.ops import sift as S
+
+    rng = np.random.default_rng(7)
+    cfg = S.SiftConfig(process_size=128, max_keypoints=64)
+    imgs = [(rng.random((90, 110)) * 255).astype(np.uint8) for _ in range(5)]
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "2")
+    d_c, m_c = S.sift_batch(imgs, max_keypoints=64, cfg=cfg)
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "16")
+    d_r, m_r = S.sift_batch(imgs, max_keypoints=64, cfg=cfg)
+    assert d_c.shape == (5, 64, 128)
+    np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_r))
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_r), atol=1e-4)
