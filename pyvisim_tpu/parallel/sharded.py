@@ -109,11 +109,26 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
 
     from ..ops import sift as sift_ops
 
+    import os
+
     cfg = cfg or sift_ops.SiftConfig()
+    n_data = mesh.shape["data"]
+    # same per-device HBM cap as ops.sift.sift_batch (~35 MB/img atlas)
+    device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
+    cap = device_batch * n_data
+    if len(grays) > cap:
+        parts = [
+            sharded_sift_batch(grays[i : i + cap], mesh, cfg=cfg,
+                               root_sift=root_sift)
+            for i in range(0, len(grays), cap)
+        ]
+        return (
+            jnp.concatenate([p[0] for p in parts], axis=0),
+            jnp.concatenate([p[1] for p in parts], axis=0),
+        )
     base = np.stack(
         [sift_ops._letterbox(np.asarray(g), cfg.process_size) for g in grays]
     )
-    n_data = mesh.shape["data"]
     base_j, b = pad_to_multiple(jnp.asarray(base), n_data)
 
     local = partial(sift_ops._sift_core, cfg=cfg)
