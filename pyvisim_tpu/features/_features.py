@@ -467,8 +467,24 @@ class DeepConvFeature(FeatureExtractorBase):
         return np.asarray(desc[0])
 
     def extract_batch(self, images):
+        import os
+
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
+        # Device-batch cap: VGG's first block costs ~13 MB of activations
+        # per 224² image, so an unbounded caller batch would exhaust HBM.
+        # 128/call is also the measured throughput sweet spot (PERF.md).
+        cap = int(os.environ.get("PYVISIM_DEEP_DEVICE_BATCH", "128"))
+        n = len(images)
+        if n > cap:
+            parts = [
+                self.extract_batch(images[i : i + cap])
+                for i in range(0, n, cap)
+            ]
+            return (
+                jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0),
+            )
         if isinstance(images, np.ndarray) and images.ndim == 4:
             batch = jnp.asarray(images)
         else:

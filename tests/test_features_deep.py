@@ -259,3 +259,20 @@ def test_int8_trunk_encoding_cosine_vs_f32():
         encodings[name] = vec / max(np.linalg.norm(vec), 1e-12)
     cos = float(np.dot(encodings["float32"], encodings["int8"]))
     assert cos > 0.999, f"int8 trunk encoding cosine {cos} vs f32"
+
+
+def test_deep_extract_batch_device_cap(monkeypatch):
+    """Caller batches beyond the device cap split into chunked forwards
+    with identical results (HBM-bounding, like SIFT's device batch)."""
+    ext = DeepConvFeature(image_size=32, spatial_encoding=False)
+    rng = np.random.default_rng(11)
+    imgs = (rng.random((5, 32, 32, 3)) * 255).astype(np.uint8)
+    monkeypatch.setenv("PYVISIM_DEEP_DEVICE_BATCH", "2")
+    d_c, m_c = ext.extract_batch(imgs)
+    monkeypatch.setenv("PYVISIM_DEEP_DEVICE_BATCH", "128")
+    d_r, m_r = ext.extract_batch(imgs)
+    assert np.asarray(d_c).shape == np.asarray(d_r).shape
+    np.testing.assert_allclose(
+        np.asarray(d_c), np.asarray(d_r), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_r))
