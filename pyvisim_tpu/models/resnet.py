@@ -12,12 +12,15 @@ Inference-oriented: BatchNorm uses converted running statistics
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+from .quant import QuantConv
 
 __all__ = [
     "ResNetTrunk",
@@ -35,25 +38,45 @@ RESNET_CFGS = {
 _STAGE_WIDTHS = (64, 128, 256, 512)
 
 
+def _block_conv(parent_int8, lo, hi, x, feats, ksize, strides, pad, name, dtype):
+    """nn.Conv or the int8 MXU QuantConv, chosen per layer by the input
+    spatial size (quantize only where int8 measures faster; BN follows
+    the dequantized output, so no BN folding is needed)."""
+    sp = x.shape[1]
+    if parent_int8 and lo <= sp <= hi and x.shape[-1] >= 64:
+        return QuantConv(
+            feats, kernel_size=ksize, strides=(strides, strides),
+            padding=(pad, pad), use_bias=False, dtype=dtype, name=name,
+        )(x)
+    return nn.Conv(
+        feats, ksize, strides=strides, padding=pad, use_bias=False,
+        dtype=dtype, name=name,
+    )(x)
+
+
 class _BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dtype: Any = jnp.float32
+    int8: bool = False
+    int8_min_spatial: int = 7
+    int8_max_spatial: int = 56
 
     @nn.compact
     def __call__(self, x):
+        conv = partial(
+            _block_conv, self.int8, self.int8_min_spatial,
+            self.int8_max_spatial,
+        )
         residual = x
-        y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = conv(x, self.features, (3, 3), self.strides, 1, "conv1", self.dtype)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="conv2")(y)
+        y = conv(y, self.features, (3, 3), 1, 1, "conv2", self.dtype)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(self.features, (1, 1), strides=self.strides,
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = conv(x, self.features, (1, 1), self.strides, 0,
+                            "downsample_conv", self.dtype)
             residual = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                     name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -63,25 +86,28 @@ class _Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     strides: int = 1
     dtype: Any = jnp.float32
+    int8: bool = False
+    int8_min_spatial: int = 7
+    int8_max_spatial: int = 56
 
     @nn.compact
     def __call__(self, x):
+        conv = partial(
+            _block_conv, self.int8, self.int8_min_spatial,
+            self.int8_max_spatial,
+        )
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = conv(x, self.features, (1, 1), 1, 0, "conv1", self.dtype)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = conv(y, self.features, (3, 3), self.strides, 1, "conv2", self.dtype)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(4 * self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = conv(y, 4 * self.features, (1, 1), 1, 0, "conv3", self.dtype)
         y = nn.BatchNorm(use_running_average=True, dtype=self.dtype, name="bn3")(y)
         if residual.shape != y.shape:
-            residual = nn.Conv(4 * self.features, (1, 1), strides=self.strides,
-                               use_bias=False, dtype=self.dtype,
-                               name="downsample_conv")(x)
+            residual = conv(x, 4 * self.features, (1, 1), self.strides, 0,
+                            "downsample_conv", self.dtype)
             residual = nn.BatchNorm(use_running_average=True, dtype=self.dtype,
                                     name="downsample_bn")(residual)
         return nn.relu(y + residual)
@@ -94,6 +120,13 @@ class ResNetTrunk(nn.Module):
     cfg_name: str = "resnet50"
     n_stages: int = 4
     dtype: Any = jnp.float32
+    # int8: quantize block convs whose input spatial size falls within
+    # [int8_min_spatial, int8_max_spatial] (the 7x7 stem stays float).
+    # Same dynamic-quantization scheme and parameter-tree compatibility
+    # as the VGG trunk (models/quant.py).
+    int8: bool = False
+    int8_min_spatial: int = 7
+    int8_max_spatial: int = 56
 
     @nn.compact
     def __call__(self, x):
@@ -110,6 +143,9 @@ class ResNetTrunk(nn.Module):
                 strides = 2 if stage > 0 and blk == 0 else 1
                 x = block_cls(
                     _STAGE_WIDTHS[stage], strides=strides, dtype=self.dtype,
+                    int8=self.int8,
+                    int8_min_spatial=self.int8_min_spatial,
+                    int8_max_spatial=self.int8_max_spatial,
                     name=f"layer{stage + 1}_{blk}",
                 )(x)
         return x

@@ -49,46 +49,9 @@ def conv_out_channels(cfg_name: str, layer_index: int) -> int:
     return chans[layer_index]
 
 
-class _QuantConv(nn.Module):
-    """3x3 SAME conv on the int8 MXU path (v5e int8 peak is 2x bf16).
-
-    Dynamic symmetric quantization: per-tensor activation scale
-    (amax/127, one fused reduction over the producer's output) and
-    per-output-channel weight scales; int8 x int8 -> int32 accumulation,
-    dequantized into ``dtype`` for bias + ReLU. Parameter names/shapes
-    ("kernel" HWIO, "bias") match ``nn.Conv`` exactly, so converted
-    torchvision checkpoints load into either path unchanged.
-    """
-
-    features: int
-    dtype: Any = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        cin = x.shape[-1]
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (3, 3, cin, self.features),
-            jnp.float32,
-        )
-        bias = self.param(
-            "bias", nn.initializers.zeros, (self.features,), jnp.float32
-        )
-        xf = x.astype(jnp.float32)
-        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-8)
-        xq = jnp.round(xf / sx).clip(-127, 127).astype(jnp.int8)
-        sw = jnp.maximum(
-            jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0, 1e-8
-        )
-        wq = jnp.round(kernel / sw).clip(-127, 127).astype(jnp.int8)
-        y = jax.lax.conv_general_dilated(
-            xq, wq, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.int32,
-        )
-        scale = (sx * sw).astype(jnp.float32)
-        return (y.astype(jnp.float32) * scale + bias).astype(self.dtype)
+# int8 MXU conv shared with the ResNet family (see models/quant.py for
+# the quantization scheme and measured speedups)
+from .quant import QuantConv as _QuantConv  # noqa: E402
 
 
 class VGGConvFeatures(nn.Module):
