@@ -20,9 +20,46 @@ from pyvisim_tpu.features import DeepConvFeature
 from pyvisim_tpu.profiling import Throughput
 
 
+def _synthetic_fallback():
+    """Zero-egress environments: demonstrate the same eval API on a tiny
+    synthetic gallery (class = dominant color family) instead of dying on
+    the Oxford-102 download."""
+    rng = np.random.default_rng(0)
+    imgs, labels = [], []
+    for i in range(24):
+        label = i % 4
+        img = np.zeros((160, 160, 3), np.uint8)
+        img[..., label % 3] = 120 + 30 * (label // 3)
+        img = np.clip(
+            img.astype(np.int32) + rng.integers(-60, 60, img.shape), 0, 255
+        ).astype(np.uint8)
+        imgs.append(img)
+        labels.append(label)
+
+    ext = DeepConvFeature(image_size=64)
+    encoder = VLADEncoder(feature_extractor=ext)
+    encoder.learn(imgs[::2], n_clusters=8)
+    paths = [f"mem://{i}" for i in range(16)]
+    emap = {
+        p: np.asarray(encoder.encode([img]))[0]
+        for p, img in zip(paths, imgs[:16])
+    }
+    path_labels = dict(zip(paths, labels[:16]))
+    q_imgs, q_labels = imgs[16:], labels[16:]
+    top1 = top_k_accuracy(q_imgs, q_labels, emap, path_labels, encoder, k=1)
+    m = top_k_map(q_imgs, q_labels, emap, path_labels, encoder, k=5)
+    print(f"[synthetic fallback] top-1={top1:.4f} mAP@5={m:.4f}")
+
+
 def main():
-    train = OxfordFlowerDataset(purpose="train")
-    queries = OxfordFlowerDataset(purpose=["validation", "test"])
+    try:
+        train = OxfordFlowerDataset(purpose="train")
+        queries = OxfordFlowerDataset(purpose=["validation", "test"])
+    except Exception as e:  # zero-egress image: no dataset download
+        print(f"Oxford-102 unavailable ({type(e).__name__}); "
+              "running the synthetic-gallery fallback instead.")
+        _synthetic_fallback()
+        return
     print(f"gallery={len(train)} queries={len(queries)}")
 
     # Pretrained VGG16: convert a torchvision checkpoint with
