@@ -1,5 +1,6 @@
 """Encoder API (reference parity: pyvisim/encoders/__init__.py:1-12)."""
-from ._base_encoder import GMMWeights, ImageEncoderBase, KMeansWeights
+from ._base_encoder import (GMMWeights, ImageEncoderBase, KMeansWeights,
+                            load_encoding_map)
 from .fisher_vector import FisherVectorEncoder
 from .pipeline import Pipeline
 from .siamese import SiameseEncoder
@@ -13,4 +14,5 @@ __all__ = [
     "KMeansWeights",
     "GMMWeights",
     "ImageEncoderBase",
+    "load_encoding_map",
 ]

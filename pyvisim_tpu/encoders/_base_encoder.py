@@ -531,24 +531,64 @@ class ImageEncoderBase(SimilarityMetric):
     # -- encoding maps (parity: _base_encoder.py:344-359) ------------------
     @_tupleize_first_arg
     def generate_encoding_map(
-        self, image_paths: Iterable[str], /, batch_size: int = 64
-    ) -> dict[str, np.ndarray]:
+        self,
+        image_paths: Iterable[str],
+        /,
+        batch_size: int = 64,
+        save_path: str | None = None,
+    ) -> dict[str, np.ndarray] | None:
         """``{image_path: encoded_vector}`` for a collection of files.
 
         Images are decoded host-side (native loader if built, else OpenCV)
-        and encoded in device batches.
+        and encoded in device batches; results are materialized to host
+        memory per batch (a gallery must not pin HBM).
+
+        :param save_path: optional ``.h5`` file — each batch is streamed
+            to disk instead of accumulating in RAM (a 100k-image VLAD-k256
+            gallery is ~50 GB), and the method returns ``None``. Reload
+            with :func:`load_encoding_map` (flat ``vectors``/``paths``
+            datasets, appendable and mmap-friendly).
         """
         from ..io import imread_rgb
 
         paths = list(image_paths)
+        h5 = None
+        vec_ds = path_ds = None
+        if save_path is not None:
+            import h5py
+
+            h5 = h5py.File(save_path, "w")
         result: dict[str, np.ndarray] = {}
-        for start in range(0, len(paths), batch_size):
-            chunk = paths[start : start + batch_size]
-            images = [imread_rgb(p) for p in chunk]
-            vecs = self.encode(images)
-            for p, v in zip(chunk, vecs):
-                result[p] = v
-        return result
+        try:
+            for start in range(0, len(paths), batch_size):
+                chunk = paths[start : start + batch_size]
+                images = [imread_rgb(p) for p in chunk]
+                vecs = np.asarray(self.encode(images))
+                if h5 is not None:
+                    if vec_ds is None:
+                        import h5py
+
+                        vec_ds = h5.create_dataset(
+                            "vectors", shape=(0, vecs.shape[1]),
+                            maxshape=(None, vecs.shape[1]),
+                            dtype=vecs.dtype, chunks=True,
+                        )
+                        path_ds = h5.create_dataset(
+                            "paths", shape=(0,), maxshape=(None,),
+                            dtype=h5py.string_dtype(),
+                        )
+                    n0 = vec_ds.shape[0]
+                    vec_ds.resize(n0 + len(chunk), axis=0)
+                    vec_ds[n0:] = vecs[: len(chunk)]
+                    path_ds.resize(n0 + len(chunk), axis=0)
+                    path_ds[n0:] = chunk
+                else:
+                    for p, v in zip(chunk, vecs):
+                        result[p] = v
+        finally:
+            if h5 is not None:
+                h5.close()
+        return None if save_path is not None else result
 
     @abc.abstractmethod
     def _coerce_clustering_model(self, model):
@@ -582,3 +622,18 @@ class ImageEncoderBase(SimilarityMetric):
             f"Power Norm Weight={self.power_norm_weight}, \n"
             f"Norm Order={self.norm_order})"
         )
+
+
+def load_encoding_map(path: str) -> dict[str, np.ndarray]:
+    """Load a ``{image_path: vector}`` map streamed to disk by
+    ``generate_encoding_map(..., save_path=...)`` (flat ``vectors`` /
+    ``paths`` HDF5 datasets)."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        vectors = np.asarray(f["vectors"])
+        paths = [
+            p.decode() if isinstance(p, bytes) else str(p)
+            for p in f["paths"][()]
+        ]
+    return dict(zip(paths, vectors))

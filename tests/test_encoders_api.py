@@ -329,3 +329,29 @@ def test_learn_with_sparse_valid_descriptors(rng):
     imgs = [np.full((4, 4, 3), v, np.uint8) for v in range(6)]
     enc.learn(imgs, n_clusters=3, batch_size=2, max_descriptors=30, seed=0)
     assert enc.clustering_model.centers.shape == (3, 8)
+
+
+def test_generate_encoding_map_streams_to_hdf5(tmp_path, rng):
+    """save_path streams batches to flat vectors/paths HDF5 datasets
+    (bounding host RAM for production-scale galleries); load_encoding_map
+    reproduces the in-memory map exactly."""
+    import cv2
+
+    from pyvisim_tpu.encoders import load_encoding_map
+
+    cb = KMeansCodebook(centers=rng.normal(size=(8, 16)).astype(np.float32))
+    enc = VLADEncoder(feature_extractor=make_lambda(), kmeans_model=cb)
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"img_{i}.png")
+        cv2.imwrite(p, (rng.random((48, 64, 3)) * 255).astype(np.uint8))
+        paths.append(p)
+
+    in_mem = enc.generate_encoding_map(paths, batch_size=2)
+    h5_path = str(tmp_path / "gallery.h5")
+    ret = enc.generate_encoding_map(paths, batch_size=2, save_path=h5_path)
+    assert ret is None
+    loaded = load_encoding_map(h5_path)
+    assert set(loaded) == set(in_mem)
+    for p in paths:
+        np.testing.assert_allclose(loaded[p], in_mem[p], rtol=1e-6)
