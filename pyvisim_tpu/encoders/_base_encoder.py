@@ -549,46 +549,9 @@ class ImageEncoderBase(SimilarityMetric):
             with :func:`load_encoding_map` (flat ``vectors``/``paths``
             datasets, appendable and mmap-friendly).
         """
-        from ..io import imread_rgb
-
-        paths = list(image_paths)
-        h5 = None
-        vec_ds = path_ds = None
-        if save_path is not None:
-            import h5py
-
-            h5 = h5py.File(save_path, "w")
-        result: dict[str, np.ndarray] = {}
-        try:
-            for start in range(0, len(paths), batch_size):
-                chunk = paths[start : start + batch_size]
-                images = [imread_rgb(p) for p in chunk]
-                vecs = np.asarray(self.encode(images))
-                if h5 is not None:
-                    if vec_ds is None:
-                        import h5py
-
-                        vec_ds = h5.create_dataset(
-                            "vectors", shape=(0, vecs.shape[1]),
-                            maxshape=(None, vecs.shape[1]),
-                            dtype=vecs.dtype, chunks=True,
-                        )
-                        path_ds = h5.create_dataset(
-                            "paths", shape=(0,), maxshape=(None,),
-                            dtype=h5py.string_dtype(),
-                        )
-                    n0 = vec_ds.shape[0]
-                    vec_ds.resize(n0 + len(chunk), axis=0)
-                    vec_ds[n0:] = vecs[: len(chunk)]
-                    path_ds.resize(n0 + len(chunk), axis=0)
-                    path_ds[n0:] = chunk
-                else:
-                    for p, v in zip(chunk, vecs):
-                        result[p] = v
-        finally:
-            if h5 is not None:
-                h5.close()
-        return None if save_path is not None else result
+        return _encode_paths_to_map(
+            self.encode, image_paths, batch_size, save_path
+        )
 
     @abc.abstractmethod
     def _coerce_clustering_model(self, model):
@@ -622,6 +585,57 @@ class ImageEncoderBase(SimilarityMetric):
             f"Power Norm Weight={self.power_norm_weight}, \n"
             f"Norm Order={self.norm_order})"
         )
+
+
+def _encode_paths_to_map(
+    encode_fn: Callable,
+    image_paths: Iterable[str],
+    batch_size: int,
+    save_path: str | None,
+) -> dict[str, np.ndarray] | None:
+    """Shared engine for ``generate_encoding_map``: decode host-side,
+    encode in device batches materialized to host numpy, and either build
+    an in-memory ``{path: vector}`` dict or stream flat ``vectors`` /
+    ``paths`` HDF5 datasets to ``save_path`` (returns None then)."""
+    from ..io import imread_rgb
+
+    paths = list(image_paths)
+    h5 = None
+    vec_ds = path_ds = None
+    if save_path is not None:
+        import h5py
+
+        h5 = h5py.File(save_path, "w")
+    result: dict[str, np.ndarray] = {}
+    try:
+        for start in range(0, len(paths), batch_size):
+            chunk = paths[start : start + batch_size]
+            vecs = np.asarray(encode_fn([imread_rgb(p) for p in chunk]))
+            if h5 is not None:
+                if vec_ds is None:
+                    import h5py
+
+                    vec_ds = h5.create_dataset(
+                        "vectors", shape=(0, vecs.shape[1]),
+                        maxshape=(None, vecs.shape[1]),
+                        dtype=vecs.dtype, chunks=True,
+                    )
+                    path_ds = h5.create_dataset(
+                        "paths", shape=(0,), maxshape=(None,),
+                        dtype=h5py.string_dtype(),
+                    )
+                n0 = vec_ds.shape[0]
+                vec_ds.resize(n0 + len(chunk), axis=0)
+                vec_ds[n0:] = vecs[: len(chunk)]
+                path_ds.resize(n0 + len(chunk), axis=0)
+                path_ds[n0:] = chunk
+            else:
+                for p, v in zip(chunk, vecs):
+                    result[p] = v
+    finally:
+        if h5 is not None:
+            h5.close()
+    return None if save_path is not None else result
 
 
 def load_encoding_map(path: str) -> dict[str, np.ndarray]:

@@ -88,20 +88,19 @@ class Pipeline(SimilarityMetric):
         return np.hstack(all_encodings)
 
     def generate_encoding_map(
-        self, image_paths: Iterable[str], batch_size: int = 64
-    ) -> dict[str, np.ndarray]:
+        self,
+        image_paths: Iterable[str],
+        batch_size: int = 64,
+        save_path: str | None = None,
+    ) -> dict[str, np.ndarray] | None:
         """``{path: concatenated_vector}`` (parity: pipeline.py:68-81),
-        decoded host-side and encoded in device batches."""
-        from ..io import imread_rgb
+        decoded host-side and encoded in device batches; ``save_path``
+        streams to HDF5 like ``ImageEncoderBase.generate_encoding_map``."""
+        from ._base_encoder import _encode_paths_to_map
 
-        paths = list(image_paths)
-        result: dict[str, np.ndarray] = {}
-        for start in range(0, len(paths), batch_size):
-            chunk = paths[start : start + batch_size]
-            vecs = self.encode([imread_rgb(p) for p in chunk])
-            for p, v in zip(chunk, vecs):
-                result[p] = v
-        return result
+        return _encode_paths_to_map(
+            self.encode, image_paths, batch_size, save_path
+        )
 
     @property
     def similarity_func(self):
