@@ -55,7 +55,20 @@ def _encode_queries(encoder, images, batch_size: int = 64) -> np.ndarray:
     return q.reshape(1, -1) if q.ndim == 1 else q
 
 
-def _gallery(encoding_map: dict[str, np.ndarray]):
+def _gallery(encoding_map):
+    """(paths, (N, D) vectors) from a ``{path: vector}`` dict OR the path
+    of an HDF5 gallery streamed by ``generate_encoding_map(save_path=)``
+    (read directly — no dict intermediate for large galleries)."""
+    if isinstance(encoding_map, (str, bytes)):
+        import h5py
+
+        with h5py.File(encoding_map, "r") as f:
+            vectors = np.asarray(f["vectors"])
+            paths = [
+                p.decode() if isinstance(p, bytes) else str(p)
+                for p in f["paths"][()]
+            ]
+        return paths, vectors
     paths = list(encoding_map.keys())
     vectors = np.array([np.asarray(encoding_map[p]).ravel() for p in paths])
     return paths, vectors

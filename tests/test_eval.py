@@ -145,3 +145,21 @@ def test_encode_queries_bucketed_padding(retrieval_setup):
     np.testing.assert_allclose(out, q_vecs[:7])
     # 7 images -> one full chunk of 4, then a 3-tail padded to bucket 4
     assert seen_shapes == [4, 4]
+
+
+def test_eval_accepts_streamed_gallery_file(retrieval_setup, tmp_path):
+    """top_k_map/accuracy accept the HDF5 path written by
+    generate_encoding_map(save_path=) in place of the in-memory dict."""
+    import h5py
+
+    encoder, images, q_labels, encoding_map, path_labels, *_ = retrieval_setup
+    h5p = str(tmp_path / "gal.h5")
+    paths = list(encoding_map)
+    with h5py.File(h5p, "w") as f:
+        f.create_dataset(
+            "vectors", data=np.stack([encoding_map[p] for p in paths])
+        )
+        f.create_dataset("paths", data=paths, dtype=h5py.string_dtype())
+    a = top_k_map(images, q_labels, encoding_map, path_labels, encoder, k=5)
+    b = top_k_map(images, q_labels, h5p, path_labels, encoder, k=5)
+    assert a == b
