@@ -128,12 +128,15 @@ class RetrievalIndex:
 
     @classmethod
     def from_encoding_map(
-        cls, encoding_map: dict[str, np.ndarray], labels=None, mesh=None
+        cls, encoding_map, labels=None, mesh=None, quantize=None
     ) -> "RetrievalIndex":
-        """Adapter from the reference-style ``{path: vector}`` dict."""
-        paths = list(encoding_map.keys())
-        vectors = np.stack([np.asarray(encoding_map[p]).ravel() for p in paths])
-        return cls(vectors, paths, labels, mesh=mesh)
+        """Adapter from the reference-style ``{path: vector}`` dict, or
+        from the HDF5 path written by
+        ``generate_encoding_map(save_path=...)``."""
+        from .eval import _gallery
+
+        paths, vectors = _gallery(encoding_map)
+        return cls(vectors, paths, labels, mesh=mesh, quantize=quantize)
 
     def __len__(self) -> int:
         return self._n
