@@ -603,6 +603,13 @@ def _encode_paths_to_map(
     h5 = None
     vec_ds = path_ds = None
     if save_path is not None:
+        if not paths:
+            # the datasets are created lazily on the first batch; an empty
+            # input would otherwise write a file that crashes on load
+            raise ValueError(
+                "generate_encoding_map(save_path=...) needs at least one "
+                "image path"
+            )
         import h5py
 
         h5 = h5py.File(save_path, "w")

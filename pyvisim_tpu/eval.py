@@ -59,7 +59,9 @@ def _gallery(encoding_map):
     """(paths, (N, D) vectors) from a ``{path: vector}`` dict OR the path
     of an HDF5 gallery streamed by ``generate_encoding_map(save_path=)``
     (read directly — no dict intermediate for large galleries)."""
-    if isinstance(encoding_map, (str, bytes)):
+    import os
+
+    if isinstance(encoding_map, (str, bytes, os.PathLike)):
         import h5py
 
         with h5py.File(encoding_map, "r") as f:

@@ -380,27 +380,33 @@ class DeepConvFeature(FeatureExtractorBase):
         resampled ones-mask renormalizes the separable kernel over the
         valid region — numerically identical (float noise) to resizing
         the unpadded image, so one compiled graph serves every original
-        shape that shares a padding bucket."""
+        shape that shares a padding bucket.
+
+        The resampling itself runs in float32 regardless of ``x.dtype``:
+        a bf16-rounded *scale* would shift sample-tap positions by up to
+        ~0.6 px (breaking the torchvision-Resize parity), which is a far
+        larger error than bf16 pixel storage. The result is cast back."""
         s = self.image_size
         b, bh, bw, c = x.shape
+        xf = x.astype(jnp.float32)
         scale = jnp.stack(
             [s / jnp.asarray(oh, jnp.float32), s / jnp.asarray(ow, jnp.float32)]
-        ).astype(x.dtype)
-        zero = jnp.zeros((2,), x.dtype)
+        )
+        zero = jnp.zeros((2,), jnp.float32)
         out = jax.image.scale_and_translate(
-            x, (b, s, s, c), (1, 2), scale, zero,
+            xf, (b, s, s, c), (1, 2), scale, zero,
             method="linear", antialias=True,
         )
-        if not padded:
-            return out
-        rr = (jnp.arange(bh) < oh).astype(x.dtype)
-        cc = (jnp.arange(bw) < ow).astype(x.dtype)
-        mask = (rr[:, None] * cc[None, :])[None, :, :, None]
-        m_out = jax.image.scale_and_translate(
-            mask, (1, s, s, 1), (1, 2), scale, zero,
-            method="linear", antialias=True,
-        )
-        return out / jnp.maximum(m_out, jnp.asarray(1e-12, x.dtype))
+        if padded:
+            rr = (jnp.arange(bh) < oh).astype(jnp.float32)
+            cc = (jnp.arange(bw) < ow).astype(jnp.float32)
+            mask = (rr[:, None] * cc[None, :])[None, :, :, None]
+            m_out = jax.image.scale_and_translate(
+                mask, (1, s, s, 1), (1, 2), scale, zero,
+                method="linear", antialias=True,
+            )
+            out = out / jnp.maximum(m_out, 1e-12)
+        return out.astype(x.dtype)
 
     def _preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
         """uint8/float HWC batch -> (B, S, S, 3) float in [0, 1], bilinear
@@ -471,9 +477,13 @@ class DeepConvFeature(FeatureExtractorBase):
 
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
+        if not isinstance(images, np.ndarray):
+            images = list(images)  # materialize iterators/generators
         # Device-batch cap: VGG's first block costs ~13 MB of activations
         # per 224² image, so an unbounded caller batch would exhaust HBM.
         # 128/call is also the measured throughput sweet spot (PERF.md).
+        # Multi-chunk results accumulate host-side — the descriptors of an
+        # unbounded gallery must not pin HBM either.
         cap = int(os.environ.get("PYVISIM_DEEP_DEVICE_BATCH", "128"))
         n = len(images)
         if n > cap:
@@ -482,8 +492,8 @@ class DeepConvFeature(FeatureExtractorBase):
                 for i in range(0, n, cap)
             ]
             return (
-                jnp.concatenate([p[0] for p in parts], axis=0),
-                jnp.concatenate([p[1] for p in parts], axis=0),
+                np.concatenate([np.asarray(p[0]) for p in parts], axis=0),
+                np.concatenate([np.asarray(p[1]) for p in parts], axis=0),
             )
         if isinstance(images, np.ndarray) and images.ndim == 4:
             batch = jnp.asarray(images)

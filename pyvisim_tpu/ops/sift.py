@@ -1018,32 +1018,30 @@ def sift_descriptors(
     base = np.stack([_letterbox(np.asarray(g), cfg.process_size) for g in grays])
     b = base.shape[0]
     device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
-    if b > device_batch:
-        chunks = [
-            sift_descriptors(
-                [base[i + j] for j in range(min(device_batch, b - i))],
-                cfg,
-                root_sift=False,
+
+    def run_chunk(chunk: np.ndarray):
+        cb = chunk.shape[0]
+        bucket = 1 << max(0, (cb - 1).bit_length())
+        if bucket != cb:
+            chunk = np.concatenate(
+                [chunk, np.zeros((bucket - cb,) + chunk.shape[1:], chunk.dtype)]
             )
-            for i in range(0, b, device_batch)
-        ]
-        out = {
-            k: jnp.concatenate([c[k] for c in chunks], axis=0)
-            for k in chunks[0]
-        }
+        out = _sift_core(jnp.asarray(chunk), cfg)
+        out = {k: v[:cb] for k, v in out.items()}
         if root_sift:
             out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
         return out
-    bucket = 1 << max(0, (b - 1).bit_length())
-    if bucket != b:
-        base = np.concatenate(
-            [base, np.zeros((bucket - b,) + base.shape[1:], base.dtype)]
-        )
-    out = _sift_core(jnp.asarray(base), cfg)
-    out = {k: v[:b] for k, v in out.items()}
-    if root_sift:
-        out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
-    return out
+
+    if b <= device_batch:
+        return run_chunk(base)
+    # Multi-chunk: accumulate host-side so neither the outputs (~1 MB of
+    # descriptors per image) nor the pipeline intermediates of an
+    # unbounded gallery pin HBM; letterboxing happened exactly once above.
+    outs = [
+        {k: np.asarray(v) for k, v in run_chunk(base[i : i + device_batch]).items()}
+        for i in range(0, b, device_batch)
+    ]
+    return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
 
 def sift_single(

@@ -276,3 +276,19 @@ def test_deep_extract_batch_device_cap(monkeypatch):
         np.asarray(d_c), np.asarray(d_r), rtol=1e-5, atol=1e-5
     )
     np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_r))
+
+
+def test_int8_descriptors_batch_independent():
+    """Per-image activation scales: an image's int8 descriptors must not
+    depend on its batchmates (a per-tensor amax would let a saturated
+    neighbor shift the quantization grid)."""
+    import jax.numpy as jnp
+
+    ext = DeepConvFeature(image_size=64, spatial_encoding=False, int8=True,
+                          dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    img = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    sat = np.full((64, 64, 3), 255, np.uint8)
+    alone = np.asarray(ext.extract_batch(np.stack([img]))[0])[0]
+    paired = np.asarray(ext.extract_batch(np.stack([img, sat]))[0])[0]
+    np.testing.assert_array_equal(alone, paired)
