@@ -108,7 +108,11 @@ class SIFT(FeatureExtractorBase):
         backend: str = "tpu",
         max_keypoints: int = 2048,
         process_size: int = 512,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        ``extract_batch`` then runs data-parallel across its devices
+        (``parallel.sharded_sift_batch``; exact same results)."""
         super().__init__()
         self._output_dim = 128
         if backend not in ("tpu", "opencv"):
@@ -116,6 +120,7 @@ class SIFT(FeatureExtractorBase):
         self.backend = backend
         self.max_keypoints = max_keypoints
         self.process_size = process_size
+        self.mesh = mesh
         self._root = False  # RootSIFT subclass flips this
 
     @property
@@ -173,6 +178,12 @@ class SIFT(FeatureExtractorBase):
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
         grays = [_to_gray_u8(np.asarray(img)) for img in images]
+        if self.mesh is not None:
+            from ..parallel import sharded_sift_batch
+
+            return sharded_sift_batch(
+                grays, self.mesh, cfg=self._sift_cfg, root_sift=self._root
+            )
         return sift_ops.sift_batch(
             grays, max_keypoints=self.max_keypoints, root_sift=self._root,
             cfg=self._sift_cfg,
@@ -194,9 +205,11 @@ class RootSIFT(SIFT):
         backend: str = "tpu",
         max_keypoints: int = 2048,
         process_size: int = 512,
+        mesh=None,
     ):
         super().__init__(
-            backend=backend, max_keypoints=max_keypoints, process_size=process_size
+            backend=backend, max_keypoints=max_keypoints,
+            process_size=process_size, mesh=mesh,
         )
         self._root = True
 
@@ -268,6 +281,9 @@ class DeepConvFeature(FeatureExtractorBase):
         int8 path (dynamic symmetric quantization; ~1.26x end-to-end with
         trunk-encoding cosine vs f32 > 0.999 — see models/vgg.py and
         docs/PERF.md). Ignored for custom modules.
+    :param mesh: optional ``jax.sharding.Mesh`` with a 'data' axis —
+        ``extract_batch`` then shards the image batch across its devices
+        (GSPMD; params replicated), identical results to single-device.
     """
 
     def __init__(
@@ -281,8 +297,10 @@ class DeepConvFeature(FeatureExtractorBase):
         dtype: Any = jnp.float32,
         module: Any = None,
         int8: bool = False,
+        mesh=None,
     ):
         super().__init__()
+        self.mesh = mesh
         self.cfg_name = cfg_name
         self.layer_index = layer_index
         self.spatial_encoding = spatial_encoding
@@ -339,6 +357,19 @@ class DeepConvFeature(FeatureExtractorBase):
         self._jit_preprocess = jax.jit(self.transform or self._preprocess)
         self._jit_preprocess_bucketed = jax.jit(self._preprocess_bucketed)
         self._jit_forward_features = jax.jit(self._forward_features)
+        if self.mesh is not None:
+            # GSPMD data parallelism: the image batch shards over 'data',
+            # params replicate (jit closure), XLA inserts no collectives
+            # until a downstream consumer needs them.
+            from ..parallel import data_sharding
+
+            self._jit_forward_mesh = jax.jit(
+                self._forward, in_shardings=(data_sharding(self.mesh, 4),),
+            )
+            self._jit_forward_features_mesh = jax.jit(
+                self._forward_features,
+                in_shardings=(data_sharding(self.mesh, 4),),
+            )
 
     def list_conv_layers(self):
         """(index, name, out_channels) for each conv layer
@@ -515,12 +546,32 @@ class DeepConvFeature(FeatureExtractorBase):
                     ]
                 else:
                     pre = [self._prep_ragged(np.asarray(i)) for i in images]
-                desc = self._jit_forward_features(jnp.concatenate(pre, axis=0))
+                desc = self._run_forward(
+                    jnp.concatenate(pre, axis=0), preprocessed=True
+                )
                 mask = jnp.ones(desc.shape[:2], self.dtype)
                 return desc, mask
-        desc = self._jit_forward(batch)
+        desc = self._run_forward(batch, preprocessed=False)
         mask = jnp.ones(desc.shape[:2], self.dtype)
         return desc, mask
+
+    def _run_forward(self, batch: jnp.ndarray, preprocessed: bool):
+        """Dispatch a uniform batch to the single-device or mesh-sharded
+        forward (batch padded to the 'data' axis extent and sliced back)."""
+        if self.mesh is None:
+            fn = (
+                self._jit_forward_features if preprocessed
+                else self._jit_forward
+            )
+            return fn(batch)
+        from ..parallel import pad_to_multiple
+
+        padded, b0 = pad_to_multiple(batch, self.mesh.shape["data"])
+        fn = (
+            self._jit_forward_features_mesh if preprocessed
+            else self._jit_forward_mesh
+        )
+        return fn(padded)[:b0]
 
     def __repr__(self):
         return (

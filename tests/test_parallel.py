@@ -320,3 +320,38 @@ def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
     restored, loss = step2(restored, images, labels)
     assert np.isfinite(float(loss))
     assert int(restored.step) == 2
+
+
+def test_mesh_aware_feature_extractors(mesh, rng):
+    """SIFT(mesh=...) and DeepConvFeature(mesh=...) shard extract_batch
+    over 'data' with results identical to the single-device extractors."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.features import SIFT, DeepConvFeature
+
+    imgs = [
+        (rng.random((80, 90, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+
+    s_plain = SIFT(process_size=128, max_keypoints=128)
+    s_mesh = SIFT(process_size=128, max_keypoints=128, mesh=mesh)
+    d0, m0 = s_plain.extract_batch(imgs)
+    d1, m1 = s_mesh.extract_batch(imgs)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=1e-4)
+
+    e_plain = DeepConvFeature(image_size=32, spatial_encoding=False)
+    e_mesh = DeepConvFeature(image_size=32, spatial_encoding=False, mesh=mesh)
+    u = np.stack([(rng.random((32, 32, 3)) * 255).astype(np.uint8)
+                  for _ in range(6)])
+    f0, _ = e_plain.extract_batch(u)
+    f1, _ = e_mesh.extract_batch(u)
+    np.testing.assert_allclose(
+        np.asarray(f0), np.asarray(f1), rtol=1e-5, atol=1e-5
+    )
+    # ragged path through the mesh too
+    r0, _ = e_plain.extract_batch(imgs)
+    r1, _ = e_mesh.extract_batch(imgs)
+    np.testing.assert_allclose(
+        np.asarray(r0), np.asarray(r1), rtol=1e-5, atol=1e-5
+    )
