@@ -401,15 +401,41 @@ class ImageEncoderBase(SimilarityMetric):
         implement with their aggregation op; PCA is applied here."""
         raise NotImplementedError
 
+    @property
+    def _mesh(self):
+        """Device mesh inherited from the feature extractor (multi-chip
+        encoders follow their extractor's placement)."""
+        return getattr(self._feature_extractor, "mesh", None)
+
     def _get_encode_fn(self):
-        key = self._config_key()
+        mesh = self._mesh
+        key = (self._config_key(), None if mesh is None else id(mesh))
         if key not in self._encode_jit:
             core = self._encode_core
 
-            @jax.jit
-            def fn(desc, mask, clustering_model, pca):
-                return core(desc, mask, clustering_model, pca)
+            if mesh is None:
 
+                @jax.jit
+                def fn(desc, mask, clustering_model, pca):
+                    return core(desc, mask, clustering_model, pca)
+
+            else:
+                # GSPMD: descriptors sharded over 'data', codebook/PCA
+                # replicated — the multi-chip analog of the reference's
+                # serial per-image loop (vlad.py:87).
+                from ..parallel import data_sharding, replicated
+
+                fn = jax.jit(
+                    lambda desc, mask, clustering_model, pca: core(
+                        desc, mask, clustering_model, pca
+                    ),
+                    in_shardings=(
+                        data_sharding(mesh, 3),
+                        data_sharding(mesh, 2),
+                        replicated(mesh),
+                        replicated(mesh),
+                    ),
+                )
             self._encode_jit[key] = fn
         return self._encode_jit[key]
 
@@ -436,8 +462,19 @@ class ImageEncoderBase(SimilarityMetric):
         desc, mask = self.feature_extractor.extract_batch(images)
         desc = jnp.asarray(desc)
         mask = jnp.asarray(mask)
+        mesh = self._mesh
+        b0 = desc.shape[0]
+        if mesh is not None:
+            from ..parallel import data_sharding, pad_to_multiple
+
+            desc, _ = pad_to_multiple(desc, mesh.shape["data"])
+            mask, _ = pad_to_multiple(mask, mesh.shape["data"])
+            # re-place explicitly: upstream arrays may carry a different
+            # committed sharding (e.g. the concat of a shard_map output)
+            desc = jax.device_put(desc, data_sharding(mesh, 3))
+            mask = jax.device_put(mask, data_sharding(mesh, 2))
         out = self._get_encode_fn()(desc, mask, self._clustering_model, self._pca)
-        out = np.asarray(out)
+        out = np.asarray(out)[:b0]
         if not self._flatten and out.ndim == 3:
             out = out.reshape(-1, out.shape[-1])  # np.vstack of (K, D) blocks
         return out

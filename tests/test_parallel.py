@@ -355,3 +355,31 @@ def test_mesh_aware_feature_extractors(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(r0), np.asarray(r1), rtol=1e-5, atol=1e-5
     )
+
+
+def test_encoder_inherits_extractor_mesh(mesh, rng):
+    """An encoder built on a mesh-aware extractor runs its whole
+    features->assign->aggregate->normalize graph sharded over 'data',
+    with results identical to the single-device encoder (ragged batch
+    exercises the padding)."""
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import SIFT
+
+    centers = KMeansCodebook(
+        centers=rng.normal(size=(8, 128)).astype(np.float32)
+    )
+    imgs = [
+        (rng.random((90, 100, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+    enc0 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64),
+        kmeans_model=centers,
+    )
+    enc1 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64, mesh=mesh),
+        kmeans_model=centers,
+    )
+    v0 = enc0.encode(imgs)
+    v1 = enc1.encode(imgs)
+    assert v0.shape == v1.shape == (5, 8 * 128)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
