@@ -86,6 +86,27 @@ class FisherVectorEncoder(ImageEncoderBase):
             f"GaussianMixture, not {type(model)}"
         )
 
+    def _encode_cluster_sharded(self, desc, mask, mesh):
+        """K mixture-component axis sharded over the mesh's 'cluster' axis
+        (EP analog): the posterior softmax's global normalizer is recovered
+        with a pmax+psum over 'cluster'
+        (parallel.cluster_sharded_fisher_encode)."""
+        from ..parallel import cluster_sharded_fisher_encode
+
+        if self._pca is not None:
+            desc = self._pca(desc)  # (B, N, D_in) -> (B, N, D)
+        out = cluster_sharded_fisher_encode(
+            desc,
+            mask,
+            self._clustering_model,
+            mesh,
+            power_norm_weight=self._power_norm_weight,
+            norm_order=self._norm_order,
+            epsilon=self._epsilon,
+        )
+        # match the replicated core's un-flattened row-vector shape
+        return out if self._flatten else out[:, None, :]
+
     def _encode_core(self, desc, mask, clustering_model, pca):
         power = self._power_norm_weight
         order = self._norm_order

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Callable, Iterable
 
-import jax.numpy as jnp
 import numpy as np
 
 from .._base_classes import SimilarityMetric
@@ -79,10 +78,11 @@ class Pipeline(SimilarityMetric):
             saved_flatten = enc.flatten
             enc.flatten = True
             try:
-                out = enc._get_encode_fn()(
-                    jnp.asarray(desc), jnp.asarray(mask), enc.clustering_model, enc.pca
-                )
-                all_encodings.append(np.asarray(out))
+                # the same engine as ImageEncoderBase.encode — including
+                # mesh padding/placement for mesh-aware extractors, so a
+                # Pipeline member behaves identically inside and outside
+                # the pipeline on any batch size
+                all_encodings.append(enc._encode_descriptors(desc, mask))
             finally:
                 enc.flatten = saved_flatten
         return np.hstack(all_encodings)

@@ -81,6 +81,27 @@ class VLADEncoder(ImageEncoderBase):
             f"not {type(model)}"
         )
 
+    def _encode_cluster_sharded(self, desc, mask, mesh):
+        """K centroid axis sharded over the mesh's 'cluster' axis (EP
+        analog): each device scores only its K/devices centroids; the
+        global argmin is reconstructed with pmin collectives. Equal to the
+        replicated path to float tolerance
+        (parallel.cluster_sharded_vlad_encode)."""
+        from ..parallel import cluster_sharded_vlad_encode
+
+        if self._pca is not None:
+            desc = self._pca(desc)  # (B, N, D_in) -> (B, N, D)
+        return cluster_sharded_vlad_encode(
+            desc,
+            mask,
+            self._clustering_model.centers,
+            mesh,
+            power_norm_weight=self._power_norm_weight,
+            norm_order=self._norm_order,
+            epsilon=self._epsilon,
+            flatten=self._flatten,
+        )
+
     def _encode_core(self, desc, mask, clustering_model, pca):
         power = self._power_norm_weight
         order = self._norm_order

@@ -28,20 +28,9 @@ logger = get_logger("features")
 
 __all__ = ["SIFT", "RootSIFT", "Lambda", "DeepConvFeature", "FeatureExtractorBase"]
 
-# Geometric ladder (~1.2x steps) of zero-padding side lengths for ragged
-# image preprocessing: distinct jit traces are bounded by the ladder size
-# instead of one ~20-40 s remote compile per distinct photo shape.
-_SIZE_LADDER = (
-    32, 48, 64, 80, 96, 128, 160, 192, 224, 256, 320, 384, 448, 512,
-    640, 768, 896, 1024, 1280, 1536, 1792, 2048, 2560, 3072, 4096,
-)
-
-
-def _bucket_side(n: int) -> int:
-    for s in _SIZE_LADDER:
-        if s >= n:
-            return s
-    return n  # beyond the ladder: dedicated trace for pathological sizes
+# Ragged-preprocessing machinery shared with SiameseEncoder (ops/resize.py).
+from ..ops.resize import bucket_side as _bucket_side  # noqa: E402
+from ..ops.resize import masked_linear_resize as _masked_linear_resize  # noqa: E402
 
 
 def _check_output_shape(func) -> Callable:
@@ -417,27 +406,7 @@ class DeepConvFeature(FeatureExtractorBase):
         a bf16-rounded *scale* would shift sample-tap positions by up to
         ~0.6 px (breaking the torchvision-Resize parity), which is a far
         larger error than bf16 pixel storage. The result is cast back."""
-        s = self.image_size
-        b, bh, bw, c = x.shape
-        xf = x.astype(jnp.float32)
-        scale = jnp.stack(
-            [s / jnp.asarray(oh, jnp.float32), s / jnp.asarray(ow, jnp.float32)]
-        )
-        zero = jnp.zeros((2,), jnp.float32)
-        out = jax.image.scale_and_translate(
-            xf, (b, s, s, c), (1, 2), scale, zero,
-            method="linear", antialias=True,
-        )
-        if padded:
-            rr = (jnp.arange(bh) < oh).astype(jnp.float32)
-            cc = (jnp.arange(bw) < ow).astype(jnp.float32)
-            mask = (rr[:, None] * cc[None, :])[None, :, :, None]
-            m_out = jax.image.scale_and_translate(
-                mask, (1, s, s, 1), (1, 2), scale, zero,
-                method="linear", antialias=True,
-            )
-            out = out / jnp.maximum(m_out, 1e-12)
-        return out.astype(x.dtype)
+        return _masked_linear_resize(x, self.image_size, oh, ow, padded=padded)
 
     def _preprocess(self, images: jnp.ndarray) -> jnp.ndarray:
         """uint8/float HWC batch -> (B, S, S, 3) float in [0, 1], bilinear

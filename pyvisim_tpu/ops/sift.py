@@ -107,6 +107,23 @@ class SiftConfig:
                 "ori_radius_classes must fit inside desc_patch_radius "
                 "(the atlas padding)"
             )
+        # The converse bound: radius_class() clamps out-of-range scales to
+        # the LAST class, so a largest class smaller than the worst-case
+        # patch radius would silently truncate max-scale patches and
+        # diverge from OpenCV instead of erroring (the documented "last
+        # entry must equal the pad" invariant; ADVICE r2).
+        if max(self.ori_radius_classes) < self.ori_patch_radius:
+            raise ValueError(
+                f"max(ori_radius_classes)={max(self.ori_radius_classes)} "
+                f"must cover ori_patch_radius={self.ori_patch_radius} "
+                "(max-scale keypoints clamp to the last class)"
+            )
+        if max(self.desc_radius_classes) < self.desc_patch_radius:
+            raise ValueError(
+                f"max(desc_radius_classes)={max(self.desc_radius_classes)} "
+                f"must cover desc_patch_radius={self.desc_patch_radius} "
+                "(max-scale keypoints clamp to the last class)"
+            )
 
     @property
     def base_size(self) -> int:

@@ -117,14 +117,17 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
     device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
     cap = device_batch * n_data
     if len(grays) > cap:
+        # Accumulate chunk outputs HOST-side (mirroring ops.sift's
+        # sift_descriptors): ~1 MB of descriptors per image on-device
+        # would reintroduce the HBM growth the cap exists to prevent.
         parts = [
             sharded_sift_batch(grays[i : i + cap], mesh, cfg=cfg,
                                root_sift=root_sift)
             for i in range(0, len(grays), cap)
         ]
         return (
-            jnp.concatenate([p[0] for p in parts], axis=0),
-            jnp.concatenate([p[1] for p in parts], axis=0),
+            np.concatenate([np.asarray(p[0]) for p in parts], axis=0),
+            np.concatenate([np.asarray(p[1]) for p in parts], axis=0),
         )
     base = np.stack(
         [sift_ops._letterbox(np.asarray(g), cfg.process_size) for g in grays]

