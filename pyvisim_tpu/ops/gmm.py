@@ -22,7 +22,8 @@ __all__ = ["gmm_fit", "em_step"]
 
 def _e_step(x: jnp.ndarray, mask: jnp.ndarray, gmm: GmmCodebook):
     """Responsibilities and per-sample log likelihood (masked)."""
-    wlp = gmm_log_prob(x, gmm)  # (N, K)
+    # training path: full-f32 log-prob matmuls (see em_step's s1/s2 note)
+    wlp = gmm_log_prob(x, gmm, precision=jax.lax.Precision.HIGHEST)  # (N, K)
     log_norm = jax.scipy.special.logsumexp(wlp, axis=1)  # (N,)
     resp = jnp.exp(wlp - log_norm[:, None]) * mask[:, None]
     mean_ll = jnp.sum(log_norm * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -46,11 +47,21 @@ def em_step(
 
     def block_stats(xb, mb):
         resp, _ = _e_step(xb, mb, gmm)
-        wlp = gmm_log_prob(xb, gmm)
+        wlp = gmm_log_prob(xb, gmm, precision=jax.lax.Precision.HIGHEST)
         log_norm = jax.scipy.special.logsumexp(wlp, axis=1)
         s0 = jnp.sum(resp, axis=0)
-        s1 = jnp.dot(resp.T, xb, preferred_element_type=jnp.float32)
-        s2 = jnp.dot(resp.T, xb * xb, preferred_element_type=jnp.float32)
+        # HIGHEST precision: the M-step covariance is s2/nk - mean^2 — a
+        # catastrophic cancellation when |mean| >> std that TPU bf16
+        # matmul inputs turn into a collapsed (floor) covariance. The
+        # training path can afford full-f32 MXU passes.
+        s1 = jnp.dot(
+            resp.T, xb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        s2 = jnp.dot(
+            resp.T, xb * xb, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         ll = jnp.sum(log_norm * mb)
         return s0, s1, s2, ll
 
@@ -61,6 +72,7 @@ def em_step(
         s0, s1, s2, ll = gmm_em_stats_pallas(
             x, mask, gmm.weights, gmm.means, gmm.covariances,
             block_n=min(chunk_size or 2048, 2048),
+            precision=jax.lax.Precision.HIGHEST,  # training path
         )
     elif chunk_size is None or chunk_size >= n:
         s0, s1, s2, ll = block_stats(x, mask)
@@ -162,11 +174,20 @@ def gmm_fit(
 def _init_from_kmeans(x, mask, km: KMeansCodebook, reg_covar):
     from .assign import pairwise_sqdist
 
-    labels = jnp.argmin(pairwise_sqdist(x, km.centers), axis=1)
+    labels = jnp.argmin(
+        pairwise_sqdist(x, km.centers, precision=jax.lax.Precision.HIGHEST),
+        axis=1,
+    )
     one_hot = jax.nn.one_hot(labels, km.n_clusters, dtype=x.dtype) * mask[:, None]
     nk = jnp.sum(one_hot, axis=0) + 10.0 * jnp.finfo(x.dtype).eps
-    means = jnp.dot(one_hot.T, x, preferred_element_type=jnp.float32) / nk[:, None]
-    sq = jnp.dot(one_hot.T, x * x, preferred_element_type=jnp.float32) / nk[:, None]
+    means = jnp.dot(
+        one_hot.T, x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / nk[:, None]
+    sq = jnp.dot(
+        one_hot.T, x * x, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) / nk[:, None]
     covs = jnp.maximum(sq - means**2, reg_covar) + reg_covar
     weights = nk / jnp.maximum(jnp.sum(mask), 1.0)
     weights = weights / jnp.sum(weights)

@@ -87,7 +87,9 @@ def lloyd_step(
         return new_centers, inertia
 
     def block_stats(xb, mb):
-        d2 = pairwise_sqdist(xb, centers)
+        # training path: f32 MXU passes — bf16 inputs lose the
+        # ||x||^2 - 2xc + ||c||^2 cancellation for |mean| >> std data
+        d2 = pairwise_sqdist(xb, centers, precision=jax.lax.Precision.HIGHEST)
         labels = jnp.argmin(d2, axis=1)
         inertia = jnp.sum(jnp.min(d2, axis=1) * mb)
         one_hot = jax.nn.one_hot(labels, centers.shape[0], dtype=xb.dtype) * mb[:, None]

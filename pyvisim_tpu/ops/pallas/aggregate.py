@@ -48,7 +48,10 @@ def _lloyd_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref, inertia
     mask = mask_ref[:]  # (BN, 1) — kept 2-D throughout (Mosaic constraint)
     centers = centers_ref[:]  # (K, D)
 
-    cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32)
+    # Training path: full-f32 MXU passes — bf16 inputs lose the
+    # cross-term cancellation for |mean| >> std data (see ops/gmm.py).
+    cross = jnp.dot(desc, centers.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     c2 = jnp.sum(centers * centers, axis=1, keepdims=True)  # (K, 1)
     neg_half_d2 = cross - 0.5 * c2.T  # (BN, K); argmax == nearest centroid
     labels = jnp.argmax(neg_half_d2, axis=1, keepdims=True)  # (BN, 1)
@@ -60,7 +63,8 @@ def _lloyd_kernel(desc_ref, mask_ref, centers_ref, sums_ref, counts_ref, inertia
         labels == jax.lax.broadcasted_iota(jnp.int32, (1, centers.shape[0]), 1)
     ).astype(jnp.float32) * mask
 
-    sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32)
+    sums_ref[:] += jnp.dot(one_hot.T, desc, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
     counts_ref[:] += jnp.sum(one_hot, axis=0, keepdims=True)
     inertia_ref[:] += jnp.sum(min_d2 * mask).reshape(1, 1)
 
@@ -185,6 +189,7 @@ def vlad_aggregate_pallas(
 def _fisher_kernel(
     desc_ref, mask_ref, minv_ref, half_inv_ref, const_ref,
     s0_ref, s1_ref, s2_ref, ll_ref,
+    *, precision=None,
 ):
     """One grid step of fused diag-GMM posterior + sufficient statistics
     (+ masked log-likelihood — the EM E-step byproduct).
@@ -206,8 +211,10 @@ def _fisher_kernel(
     d2 = desc * desc
 
     logp = (
-        jnp.dot(desc, minv_ref[:].T, preferred_element_type=jnp.float32)
-        - jnp.dot(d2, half_inv_ref[:].T, preferred_element_type=jnp.float32)
+        jnp.dot(desc, minv_ref[:].T, preferred_element_type=jnp.float32,
+                precision=precision)
+        - jnp.dot(d2, half_inv_ref[:].T, preferred_element_type=jnp.float32,
+                  precision=precision)
         + const_ref[:]
     )  # (BN, K)
     m = jnp.max(logp, axis=-1, keepdims=True)
@@ -217,8 +224,10 @@ def _fisher_kernel(
     log_norm = m + jnp.log(denom)  # (BN, 1) logsumexp per row
 
     s0_ref[:] += jnp.sum(q, axis=0, keepdims=True)
-    s1_ref[:] += jnp.dot(q.T, desc, preferred_element_type=jnp.float32)
-    s2_ref[:] += jnp.dot(q.T, d2, preferred_element_type=jnp.float32)
+    s1_ref[:] += jnp.dot(q.T, desc, preferred_element_type=jnp.float32,
+                         precision=precision)
+    s2_ref[:] += jnp.dot(q.T, d2, preferred_element_type=jnp.float32,
+                         precision=precision)
     ll_ref[:] += jnp.sum(log_norm * mask).reshape(1, 1)
 
 
@@ -242,7 +251,7 @@ def fisher_stats_pallas(
     return s0 / n_valid, s1 / n_valid, s2 / n_valid
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
+@functools.partial(jax.jit, static_argnames=("block_n", "precision"))
 def gmm_em_stats_pallas(
     desc: jnp.ndarray,
     mask: jnp.ndarray,
@@ -251,10 +260,16 @@ def gmm_em_stats_pallas(
     covariances: jnp.ndarray,
     *,
     block_n: int = 1024,
+    precision=None,
 ):
     """Fused *unnormalized* EM sufficient statistics
     ``(s0 (K,), s1 (K, D), s2 (K, D), log_likelihood ())`` — the E-step of
-    ops.gmm.em_step with the (N, K) responsibility block VMEM-resident."""
+    ops.gmm.em_step with the (N, K) responsibility block VMEM-resident.
+
+    ``precision=jax.lax.Precision.HIGHEST`` (EM training) keeps the MXU
+    passes full-f32 so the M-step's ``s2/nk - mean^2`` cancellation
+    survives |mean| >> std data; the FV *encode* wrapper keeps the fast
+    default (descriptor-scale inputs, measured adequate)."""
     n, d = desc.shape
     k = means.shape[0]
     pad = (-n) % block_n
@@ -273,7 +288,7 @@ def gmm_em_stats_pallas(
     )[None, :]
 
     s0, s1, s2, ll = pl.pallas_call(
-        _fisher_kernel,
+        functools.partial(_fisher_kernel, precision=precision),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
