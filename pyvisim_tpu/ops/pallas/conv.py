@@ -44,7 +44,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3x3_relu_maxpool", "conv3x3_relu_maxpool_reference"]
+__all__ = [
+    "conv3x3_relu_maxpool",
+    "conv3x3_relu_maxpool_reference",
+    "conv3x3_relu_maxpool_q8",
+]
 
 
 def conv3x3_relu_maxpool_reference(x, w, b):
@@ -204,3 +208,151 @@ def conv3x3_relu_maxpool(x, w, b, *, interpret: bool = False):
         ),
         interpret=interpret,
     )(x, x, x, w_mat, b_mat)
+
+
+def _fused_kernel_q8(
+    x_ref, top_ref, bot_ref, w_ref, b_ref, sw_ref, sx_ref, out_ref,
+    xpad_ref, xq_ref, patches_ref, *, tile_h, width, sub_h,
+):
+    """int8 variant of ``_fused_kernel``: the activation tile is quantized
+    IN VMEM (per-image symmetric scale, scalar-prefetched), the im2col
+    scratch stores move int8 (half the byte traffic that dominates the
+    bf16 kernel), and the matmul runs on the int8 MXU path with int32
+    accumulation, dequantized per output channel before bias/ReLU/pool.
+
+    Extra refs vs the bf16 kernel: w_ref is int8 ``(9C, C_out)``; sw_ref
+    ``(1, C_out)`` per-channel weight scales; sx_ref ``(1, 1)`` this
+    image's activation scale.
+    """
+    r = pl.program_id(1)
+    n_r = pl.num_programs(1)
+    c_in = x_ref.shape[-1]
+    dtype = x_ref.dtype
+
+    xpad_ref[1 : tile_h + 1, 1 : width + 1, :] = x_ref[0]
+    zero_row = jnp.zeros((1, width, c_in), dtype)
+    xpad_ref[0:1, 1 : width + 1, :] = jnp.where(r == 0, zero_row, top_ref[0])
+    xpad_ref[tile_h + 1 : tile_h + 2, 1 : width + 1, :] = jnp.where(
+        r == n_r - 1, zero_row, bot_ref[0]
+    )
+    xpad_ref[:, 0:1, :] = jnp.zeros((tile_h + 2, 1, c_in), dtype)
+    xpad_ref[:, width + 1 : width + 2, :] = jnp.zeros((tile_h + 2, 1, c_in), dtype)
+
+    # one VPU pass: quantize the padded tile to int8 in VMEM
+    inv = 1.0 / sx_ref[0, 0, 0]
+    xq_ref[:] = (
+        jnp.clip(jnp.round(xpad_ref[:].astype(jnp.float32) * inv), -127, 127)
+        .astype(jnp.int8)
+    )
+
+    bias = b_ref[0].astype(jnp.float32)
+    deq = sx_ref[0, 0, 0] * sw_ref[0].astype(jnp.float32)  # (C_out,)
+
+    for h in range(tile_h // sub_h):
+        row0 = h * sub_h
+        for p, (dy, dx) in enumerate(
+            (dy, dx) for dy in range(3) for dx in range(3)
+        ):
+            patches_ref[:, :, p * c_in : (p + 1) * c_in] = xq_ref[
+                row0 + dy : row0 + dy + sub_h, dx : dx + width, :
+            ]
+        patches = patches_ref[:].reshape(sub_h * width, 9 * c_in)
+        acc = jnp.dot(patches, w_ref[:], preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * deq + bias
+        y = jnp.maximum(y, 0.0).reshape(sub_h, width, -1)
+        pooled = jnp.max(
+            y.reshape(sub_h // 2, 2, width // 2, 2, y.shape[-1]), axis=(1, 3)
+        )
+        out_ref[0, row0 // 2 : row0 // 2 + sub_h // 2] = pooled.astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv3x3_relu_maxpool_q8(x, w, b, *, interpret: bool = False):
+    """Fused quantize + int8 SAME 3x3 conv + bias + ReLU + 2x2 max pool.
+
+    Dynamic symmetric quantization with per-IMAGE activation scales and
+    per-output-channel weight scales (the models/quant.QuantConv recipe,
+    fused so the int8 activation tensor never round-trips HBM). The
+    ROADMAP #4 / VERDICT r2 #7 experiment — measured numbers in
+    docs/PERF.md round-3 section.
+    """
+    batch, height, width, c_in = x.shape
+    c_out = w.shape[-1]
+    tile_h, sub_h = _pick_tile(height)
+    n_tiles = height // tile_h
+
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=False)
+        / 127.0,
+        1e-8,
+    ).reshape(batch, 1, 1)  # per-image activation scales
+    w_mat = w.astype(jnp.float32).reshape(9 * c_in, c_out)
+    sw = jnp.maximum(jnp.max(jnp.abs(w_mat), axis=0) / 127.0, 1e-8)
+    wq = jnp.clip(jnp.round(w_mat / sw), -127, 127).astype(jnp.int8)
+    b_mat = b.reshape(1, c_out)
+    sw_mat = sw.reshape(1, c_out)
+
+    grid = (batch, n_tiles)
+    kernel = functools.partial(
+        _fused_kernel_q8, tile_h=tile_h, width=width, sub_h=sub_h
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_h, width, c_in),
+                lambda bi, r: (bi, r, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, width, c_in),
+                lambda bi, r: (bi, jnp.maximum(r * tile_h - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, width, c_in),
+                lambda bi, r: (
+                    bi,
+                    jnp.minimum(r * tile_h + tile_h, height - 1),
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (9 * c_in, c_out), lambda bi, r: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, c_out), lambda bi, r: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, c_out), lambda bi, r: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, 1), lambda bi, r: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_h // 2, width // 2, c_out),
+            lambda bi, r: (bi, r, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, height // 2, width // 2, c_out), x.dtype
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2, width + 2, c_in), x.dtype),
+            pltpu.VMEM((tile_h + 2, width + 2, c_in), jnp.int8),
+            pltpu.VMEM((sub_h, width, 9 * c_in), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * height * width * 9 * c_in * c_out,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + batch * (height // 2) * (width // 2) * c_out * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, x, wq, b_mat, sw_mat, sx)

@@ -6,6 +6,7 @@ docs/PERF.md round-2 section records the on-TPU measurements).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from pyvisim_tpu.ops.pallas.conv import (
@@ -52,3 +53,45 @@ def test_fused_conv_zero_padding_semantics(rng):
     # corner pre-pool values are 4 (2x2 valid taps); interior 9 -> pooled
     # corner max is 6 (the (1,1) output sees a 2x3/3x2/3x3 mix)
     assert got[0, 0, 0, 0] == want[0, 0, 0, 0]
+
+
+def test_fused_q8_conv_matches_quantized_oracle(rng):
+    """The fused quantize+int8 kernel must match an XLA oracle that applies
+    the identical QuantConv quantization recipe (per-image activation
+    scale, per-channel weight scales, int32 accumulation)."""
+    from pyvisim_tpu.ops.pallas.conv import conv3x3_relu_maxpool_q8
+
+    b, h, w_, ci, co = 2, 16, 32, 64, 64
+    x = jnp.asarray(rng.normal(size=(b, h, w_, ci)).astype(np.float32))
+    wk = jnp.asarray(rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.normal(size=(co,)).astype(np.float32))
+
+    # oracle: same quantization recipe through XLA's conv
+    sx = np.maximum(
+        np.abs(np.asarray(x)).max(axis=(1, 2, 3)) / 127.0, 1e-8
+    )  # (B,)
+    w_mat = np.asarray(wk, np.float32)
+    sw = np.maximum(np.abs(w_mat.reshape(-1, co)).max(axis=0) / 127.0, 1e-8)
+    xq = np.clip(
+        np.round(np.asarray(x) / sx[:, None, None, None]), -127, 127
+    ).astype(np.int8)
+    wq = np.clip(np.round(w_mat / sw), -127, 127).astype(np.int8)
+    acc = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(wq), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = np.asarray(acc, np.float32) * sx[:, None, None, None] * sw + np.asarray(
+        bias
+    )
+    y = np.maximum(y, 0.0)
+    want = np.asarray(
+        jax.lax.reduce_window(
+            jnp.asarray(y), -jnp.inf, jax.lax.max, (1, 2, 2, 1),
+            (1, 2, 2, 1), "VALID",
+        )
+    )
+
+    got = np.asarray(conv3x3_relu_maxpool_q8(x, wk, bias, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
