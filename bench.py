@@ -72,6 +72,59 @@ def sift_main() -> None:
     )
 
 
+def sift_e2e_main() -> None:
+    """END-TO-END SIFT extractor throughput: ``SIFT.extract_batch`` on raw
+    ragged RGB photos, INCLUDING the host grayscale+letterbox and the
+    host->device transfer each call pays in production
+    (PYVISIM_BENCH_METRIC=sift_e2e). The kernel-only number
+    (PYVISIM_BENCH_METRIC=sift) measures the jitted core on a device-
+    resident batch; VERDICT r2 weak #3 asked for both to be reported."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from train_vocabularies import synthetic_corpus
+
+    from pyvisim_tpu.features import SIFT
+
+    # 64 = four device chunks through the host/device extraction pipeline
+    # (sift_descriptors overlaps letterbox/upload with device compute);
+    # this is the gallery-extraction operating mode the metric models.
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "64"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "5"))
+    ext = SIFT()
+    # ragged raw sizes around the 512 letterbox target, RGB uint8
+    imgs = [
+        np.ascontiguousarray(
+            np.stack([i] * 3, axis=-1)[: 480 + 8 * (j % 5), : 600 - 16 * (j % 3)]
+        )
+        for j, i in enumerate(
+            g.mean(axis=2).astype(np.uint8)
+            for g in synthetic_corpus(batch, 0, size=640)
+        )
+    ]
+    d, m = ext.extract_batch(imgs)  # compile
+    _ = float(np.asarray(d).sum())
+    t0 = time.time()
+    for _ in range(steps):
+        d, m = ext.extract_batch(imgs)
+        _ = float(np.asarray(d).sum())  # host materialization each call
+    img_s = batch * steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "sift_extractor_e2e_throughput",
+                "value": round(img_s, 1),
+                "unit": "images/sec/chip",
+                # same reference anchor as the kernel metric (~20 img/s
+                # serial OpenCV incl. its own host decode)
+                "vs_baseline": round(img_s / 20.0, 3),
+            }
+        )
+    )
+
+
 def latency_main() -> None:
     """p50 end-to-end query latency: encode ONE image (VGG16 -> VLAD-k256)
     and rank it against a 6,149-vector gallery (Oxford-102 train size)."""
@@ -139,6 +192,9 @@ def main() -> None:
         return
     if metric == "sift":
         sift_main()
+        return
+    if metric == "sift_e2e":
+        sift_e2e_main()
         return
     import jax
     import jax.numpy as jnp

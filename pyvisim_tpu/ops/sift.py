@@ -524,10 +524,17 @@ def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig
     fbin = ang.astype(jnp.float32) * (n_bins / (2.0 * jnp.pi))
     bin_idx = jnp.round(fbin).astype(jnp.int32) % n_bins  # OpenCV cvRound
     one_hot = jax.nn.one_hot(bin_idx.reshape(-1), n_bins, dtype=cdt)  # (P^2, 36)
-    hist = jnp.dot(
-        (wgt * mag).astype(cdt).reshape(1, -1), one_hot,
-        preferred_element_type=jnp.float32,
-    )[0]
+    # Explicit multiply+reduce: a (1, P) x (P, 36) jnp.dot is an M=1 MXU
+    # matmul that streams the full K=P contraction for one output row;
+    # this VPU reduction form does the same math without touching the
+    # MXU. Measured whole-extractor effect: none beyond relay noise
+    # (the orientation stage is ~1.9 ms/img either way) — kept because
+    # it frees the MXU and is never slower (docs/PERF.md round 3).
+    hist = jnp.sum(
+        one_hot.astype(jnp.float32)
+        * (wgt * mag.astype(jnp.float32)).reshape(-1, 1),
+        axis=0,
+    )
 
     # circular smoothing [1,4,6,4,1]/16
     def smooth(hh):
@@ -640,19 +647,22 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
         + jax.nn.one_hot(o_idx + 1, n + 2, dtype=cdt) * of_.astype(cdt)[:, None]
     )
 
-    # hist[r, c, o] = sum_p mag_p * wr[p, r] * wc[p, c] * wo[p, o].
-    # Contract r-bin by r-bin: each is a (d+2, P) x (P, n+2) matmul, so the
-    # (P, 36) rank-3 intermediate never materializes (HBM-critical when
-    # vmapped over thousands of candidates).
-    rows = [
-        jnp.dot(
-            (wc * (wr[:, r] * mag)[:, None]).astype(cdt).T,
-            wo,
-            preferred_element_type=jnp.float32,
-        )
-        for r in range(d + 2)
-    ]
-    hist = jnp.stack(rows)  # (d+2, d+2, n+2)
+    # hist[r, c, o] = sum_p mag_p * wr[p, r] * wc[p, c] * wo[p, o], as ONE
+    # (36, P) x (P, 10) matmul per candidate: the K=P contraction streams
+    # through the MXU once instead of once per r-bin (the round-2 loop of
+    # six (6, P) x (P, 10) matmuls paid the full K-pass 6x). Measured
+    # effect: official bench 60.1 -> 62.3 img/s; the descriptor stage
+    # profile is equal within the relay's ±20% run-to-run variance —
+    # kept for the strictly smaller op count (docs/PERF.md round 3).
+    # The (P, 36) lhs lives per chunk-candidate in VMEM (bf16), bounded
+    # by the desc_chunk knob.
+    a = (
+        (wr[:, :, None] * wc[:, None, :]).reshape(p2, (d + 2) * (d + 2))
+        * mag[:, None]
+    ).astype(cdt)
+    hist = jnp.dot(
+        a.T, wo, preferred_element_type=jnp.float32
+    ).reshape(d + 2, d + 2, n + 2)
 
     # fold circular orientation borders, keep interior 4x4 spatial bins
     interior = hist[1 : d + 1, 1 : d + 1, :]
@@ -660,13 +670,17 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     folded = folded.at[:, :, 1].add(interior[:, :, n + 1])
     vec = folded.reshape(d * d * n)
 
-    # OpenCV normalization: clip at 0.2 * ||v||, rescale to 512, cap 255
+    # OpenCV normalization: clip at 0.2 * ||v||, rescale to 512, cap 255,
+    # then ROUND to integers — OpenCV saturate_casts each element to uchar
+    # (calcSIFTDescriptor's final store), so integer-valued descriptors
+    # are the reference behavior, and they make the uint8 host wire
+    # format (sift_descriptors' multi-chunk fetch) lossless.
     nrm2 = jnp.sum(vec * vec)
     thr = jnp.sqrt(nrm2) * 0.2
     vec = jnp.minimum(vec, thr)
     nrm2 = jnp.sum(vec * vec)
     scale = 512.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-12)
-    vec = jnp.minimum(vec * scale, 255.0)
+    vec = jnp.round(jnp.minimum(vec * scale, 255.0))
     return jnp.where(valid, vec, 0.0)
 
 
@@ -803,23 +817,35 @@ def _grad_atlas(gauss_octaves, cfg: SiftConfig):
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:
     """Host-side: scale longest side to ``size`` and zero-pad to square.
-    gray: (H, W) uint8 or float."""
+    gray: (H, W) uint8 or float.
+
+    uint8 input stays uint8 end-to-end (cv2's fixed-point INTER_LINEAR,
+    the same arithmetic OpenCV pipelines feed cv2.SIFT): the letterboxed
+    batch then crosses host->device as ONE byte per pixel and is cast to
+    f32 on device (`_sift_core`). On this image's relay the f32 upload
+    alone was ~32 ms/img — 4x the wire bytes of the kernel's actual
+    input entropy (round-3 measurement, docs/PERF.md)."""
     import cv2
 
     h, w = gray.shape
     s = size / max(h, w)
     nh, nw = max(1, round(h * s)), max(1, round(w * s))
-    resized = cv2.resize(
-        gray.astype(np.float32), (nw, nh), interpolation=cv2.INTER_LINEAR
-    )
-    out = np.zeros((size, size), np.float32)
+    if gray.dtype == np.uint8:
+        resized = cv2.resize(gray, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        out = np.zeros((size, size), np.uint8)
+    else:
+        resized = cv2.resize(
+            gray.astype(np.float32), (nw, nh), interpolation=cv2.INTER_LINEAR
+        )
+        out = np.zeros((size, size), np.float32)
     out[:nh, :nw] = resized
     return out
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
-    """base_batch: (B, S, S) float 0..255 letterboxed grayscale.
+    """base_batch: (B, S, S) letterboxed grayscale, float 0..255 or uint8
+    (uint8 is the production wire format — cast to f32 here, on device).
 
     Round-2 pipeline (retain-then-describe, the same order OpenCV's
     ``retainBest`` implies): detect+refine per octave -> merge candidates
@@ -829,6 +855,7 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     described every per-octave candidate (~8k descriptor evaluations per
     image for a 2,048 budget) before ranking.
     """
+    base_batch = base_batch.astype(jnp.float32)
     # initial blur to cfg.sigma (assumed input blur 0.5, doubled by upscale)
     if cfg.upscale:
         b, s, _ = base_batch.shape
@@ -1032,11 +1059,24 @@ def sift_descriptors(
     cfg = cfg or SiftConfig()
     if isinstance(grays, np.ndarray) and grays.ndim == 2:
         grays = [grays]
-    base = np.stack([_letterbox(np.asarray(g), cfg.process_size) for g in grays])
-    b = base.shape[0]
+    b = len(grays)
     device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
 
-    def run_chunk(chunk: np.ndarray):
+    def letterbox_chunk(i: int) -> np.ndarray:
+        return np.stack(
+            [
+                _letterbox(np.asarray(g), cfg.process_size)
+                for g in grays[i : i + device_batch]
+            ]
+        )
+
+    def run_chunk(chunk: np.ndarray, wire: bool = False):
+        """Upload + dispatch one device call; returns DEVICE arrays (the
+        caller decides when to materialize, enabling pipelining). With
+        ``wire=True`` the descriptor block is converted to uint8 on device
+        (LOSSLESS — `_descriptor` saturate-casts to integers 0..255 like
+        OpenCV) so the host fetch moves 1 byte/element; root-SIFT then
+        happens host-side in `_materialize` (same f32 math)."""
         cb = chunk.shape[0]
         bucket = 1 << max(0, (cb - 1).bit_length())
         if bucket != cb:
@@ -1045,19 +1085,53 @@ def sift_descriptors(
             )
         out = _sift_core(jnp.asarray(chunk), cfg)
         out = {k: v[:cb] for k, v in out.items()}
-        if root_sift:
+        if wire:
+            out["desc"] = out["desc"].astype(jnp.uint8)
+        elif root_sift:
             out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
         return out
 
+    def _materialize(out) -> dict:
+        """Fetch one wire-format chunk host-side. Rows are response-sorted
+        valid-first (invalid rows rank at -1), so only the leading
+        columns up to the batch's max valid count (bucketed to a power of
+        two to bound the slice-shape set) cross the relay; the fixed
+        descriptor budget is restored by zero-padding host-side."""
+        host = {k: np.asarray(v) for k, v in out.items() if k != "desc"}
+        mask = host["mask"]
+        k_full = out["desc"].shape[1]
+        n = max(int(mask.sum(axis=1).max()), 1)
+        nb = k_full if n >= k_full else min(
+            k_full, 1 << (n - 1).bit_length()
+        )
+        d = np.asarray(out["desc"][:, :nb]).astype(np.float32)
+        if root_sift:
+            d = np.sqrt(d / (d.sum(axis=-1, keepdims=True) + 1e-7))
+            d *= mask[:, :nb, None]
+        if nb < k_full:
+            full = np.zeros((d.shape[0], k_full, d.shape[-1]), np.float32)
+            full[:, :nb] = d
+            d = full
+        host["desc"] = d
+        return host
+
     if b <= device_batch:
-        return run_chunk(base)
-    # Multi-chunk: accumulate host-side so neither the outputs (~1 MB of
-    # descriptors per image) nor the pipeline intermediates of an
-    # unbounded gallery pin HBM; letterboxing happened exactly once above.
-    outs = [
-        {k: np.asarray(v) for k, v in run_chunk(base[i : i + device_batch]).items()}
-        for i in range(0, b, device_batch)
-    ]
+        return run_chunk(letterbox_chunk(0))
+    # Multi-chunk galleries run as a two-deep host/device pipeline: while
+    # the device computes chunk i-1, the host letterboxes chunk i and
+    # dispatches it behind the in-order queue; chunk i-1 is then fetched
+    # (np.asarray drains up to its completion). Host preprocessing and
+    # device compute overlap, and at most TWO chunks of outputs (~1 MB of
+    # descriptors per image) are device-resident at any time — an
+    # unbounded gallery still cannot pin HBM (round-2 invariant kept).
+    outs: list[dict] = []
+    pending = None
+    for i in range(0, b, device_batch):
+        cur = run_chunk(letterbox_chunk(i), wire=True)
+        if pending is not None:
+            outs.append(_materialize(pending))
+        pending = cur
+    outs.append(_materialize(pending))
     return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
 
