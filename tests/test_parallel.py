@@ -525,3 +525,31 @@ def test_gmm_large_mean_covariance_precision(mesh, rng):
     gd, lld = distributed_gmm_fit(x, 2, mesh, n_iters=20, seed=0)
     covs_d = np.asarray(gd.covariances)
     assert covs_d.min() > 0.05 and covs_d.max() < 0.2, covs_d
+
+
+def test_encoder_inherits_cluster_mesh_from_extractor(dc_mesh, rng):
+    """A ('data','cluster') mesh on the FEATURE EXTRACTOR must flow through
+    mesh inheritance into the cluster-sharded encode dispatch (not just an
+    explicit encoder.mesh assignment)."""
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import SIFT
+
+    centers = KMeansCodebook(
+        centers=rng.normal(size=(16, 128)).astype(np.float32)
+    )
+    imgs = [
+        (rng.random((80, 90, 3)) * 255).astype(np.uint8) for _ in range(3)
+    ]
+    enc0 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64),
+        kmeans_model=centers,
+    )
+    enc1 = VLADEncoder(
+        feature_extractor=SIFT(process_size=128, max_keypoints=64,
+                               mesh=dc_mesh),
+        kmeans_model=centers,
+    )
+    assert enc1.mesh is dc_mesh
+    v0 = enc0.encode(imgs)
+    v1 = enc1.encode(imgs)
+    np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
