@@ -1039,6 +1039,35 @@ def _apply_root_sift(desc: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(desc)
 
 
+def _materialize_wire(out, root_sift: bool) -> dict:
+    """Fetch one wire-format chunk host-side. Rows are response-sorted
+    valid-first (invalid rows rank at -1), so only the leading columns up
+    to the batch's max valid count (bucketed to a power of two to bound
+    the slice-shape set) cross the relay as uint8 (1 byte/element —
+    ``_descriptor`` saturate-casts to integers 0..255, so the cast is
+    lossless); the fixed descriptor budget is restored by zero-padding
+    host-side, and root-SIFT (if any) is applied in f32 after the fetch.
+    Shared by the single-device pipeline (`sift_descriptors`) and the
+    mesh path (`parallel.sharded_sift_batch`)."""
+    host = {k: np.asarray(v) for k, v in out.items() if k != "desc"}
+    mask = host["mask"]
+    k_full = out["desc"].shape[1]
+    n = max(int(mask.sum(axis=1).max()), 1)
+    nb = k_full if n >= k_full else min(
+        k_full, 1 << (n - 1).bit_length()
+    )
+    d = np.asarray(out["desc"][:, :nb]).astype(np.float32)
+    if root_sift:
+        d = np.sqrt(d / (d.sum(axis=-1, keepdims=True) + 1e-7))
+        d *= mask[:, :nb, None]
+    if nb < k_full:
+        full = np.zeros((d.shape[0], k_full, d.shape[-1]), np.float32)
+        full[:, :nb] = d
+        d = full
+    host["desc"] = d
+    return host
+
+
 def sift_descriptors(
     grays: np.ndarray | list[np.ndarray],
     cfg: SiftConfig | None = None,
@@ -1092,28 +1121,7 @@ def sift_descriptors(
         return out
 
     def _materialize(out) -> dict:
-        """Fetch one wire-format chunk host-side. Rows are response-sorted
-        valid-first (invalid rows rank at -1), so only the leading
-        columns up to the batch's max valid count (bucketed to a power of
-        two to bound the slice-shape set) cross the relay; the fixed
-        descriptor budget is restored by zero-padding host-side."""
-        host = {k: np.asarray(v) for k, v in out.items() if k != "desc"}
-        mask = host["mask"]
-        k_full = out["desc"].shape[1]
-        n = max(int(mask.sum(axis=1).max()), 1)
-        nb = k_full if n >= k_full else min(
-            k_full, 1 << (n - 1).bit_length()
-        )
-        d = np.asarray(out["desc"][:, :nb]).astype(np.float32)
-        if root_sift:
-            d = np.sqrt(d / (d.sum(axis=-1, keepdims=True) + 1e-7))
-            d *= mask[:, :nb, None]
-        if nb < k_full:
-            full = np.zeros((d.shape[0], k_full, d.shape[-1]), np.float32)
-            full[:, :nb] = d
-            d = full
-        host["desc"] = d
-        return host
+        return _materialize_wire(out, root_sift)
 
     if b <= device_batch:
         return run_chunk(letterbox_chunk(0))

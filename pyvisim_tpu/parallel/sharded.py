@@ -15,7 +15,7 @@ have (serial loops, no backend; SURVEY.md §2 parallelism table).
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -94,6 +94,27 @@ def sharded_encode(encode_fn, desc, mask, clustering_model, pca, mesh: Mesh):
     return fn(d, m, clustering_model, pca)[:b]
 
 
+@lru_cache(maxsize=16)
+def _sharded_sift_fn(mesh: Mesh, cfg):
+    """Cached jitted shard_map of the SIFT core for a (mesh, cfg) pair so
+    multi-chunk galleries (and repeated extractor calls) re-enter the same
+    compiled program instead of re-tracing per call."""
+    from ..ops import sift as sift_ops
+
+    local = partial(sift_ops._sift_core, cfg=cfg)
+    spec = P("data")
+    out_keys = ("desc", "x", "y", "size", "theta", "response", "mask")
+    return jax.jit(
+        shard_map(
+            local, mesh=mesh, in_specs=(spec,),
+            out_specs={name: spec for name in out_keys},
+            # no collectives in the kernel; the varying-axes checker trips
+            # on replicated fori_loop carry inits inside the refinement
+            check_vma=False,
+        )
+    )
+
+
 def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
     """Data-parallel SIFT detect+describe: each device runs the full
     static-shape pipeline (``ops.sift._sift_core``) on its shard of the
@@ -101,6 +122,12 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
     'data', no collectives. The L2 feature layer's multi-chip path
     (reference anchor: the serial per-image ``detectAndCompute`` loop in
     pyvisim/features/_features.py:78-83).
+
+    Over-cap galleries use the same wire format as the single-device path
+    (``ops.sift.sift_descriptors``): the uint8 letterbox rides the uplink,
+    chunks pipeline two-deep against host preprocessing, and descriptors
+    come back as uint8 with the column budget truncated to the chunk's max
+    valid count — host RAM accumulates f32, HBM holds at most two chunks.
 
     :param grays: list of (H, W) uint8/float grayscale images (any sizes).
     :return: (desc (B, N, 128), mask (B, N)) for the original batch size.
@@ -116,38 +143,41 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
     # same per-device HBM cap as ops.sift.sift_batch (~35 MB/img atlas)
     device_batch = int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
     cap = device_batch * n_data
-    if len(grays) > cap:
-        # Accumulate chunk outputs HOST-side (mirroring ops.sift's
-        # sift_descriptors): ~1 MB of descriptors per image on-device
-        # would reintroduce the HBM growth the cap exists to prevent.
-        parts = [
-            sharded_sift_batch(grays[i : i + cap], mesh, cfg=cfg,
-                               root_sift=root_sift)
-            for i in range(0, len(grays), cap)
-        ]
-        return (
-            np.concatenate([np.asarray(p[0]) for p in parts], axis=0),
-            np.concatenate([np.asarray(p[1]) for p in parts], axis=0),
-        )
-    base = np.stack(
-        [sift_ops._letterbox(np.asarray(g), cfg.process_size) for g in grays]
-    )
-    base_j, b = pad_to_multiple(jnp.asarray(base), n_data)
+    fn = _sharded_sift_fn(mesh, cfg)
 
-    local = partial(sift_ops._sift_core, cfg=cfg)
-    spec = P("data")
-    out_keys = ("desc", "x", "y", "size", "theta", "response", "mask")
-    fn = jax.jit(
-        shard_map(
-            local, mesh=mesh, in_specs=(spec,),
-            out_specs={name: spec for name in out_keys},
-            # no collectives in the kernel; the varying-axes checker trips
-            # on replicated fori_loop carry inits inside the refinement
-            check_vma=False,
+    def run_chunk(chunk_grays, wire: bool):
+        base = np.stack(
+            [
+                sift_ops._letterbox(np.asarray(g), cfg.process_size)
+                for g in chunk_grays
+            ]
         )
-    )
-    out = fn(base_j)
-    desc, mask = out["desc"][:b], out["mask"][:b]
+        base_j, b = pad_to_multiple(jnp.asarray(base), n_data)
+        out = fn(base_j)
+        out = {k: v[:b] for k, v in out.items()}
+        if wire:
+            out["desc"] = out["desc"].astype(jnp.uint8)
+        return out
+
+    if len(grays) > cap:
+        # Two-deep host/device pipeline with uint8 downlink, mirroring
+        # sift_descriptors: accumulate chunk outputs HOST-side (~1 MB of
+        # f32 descriptors per image on-device would reintroduce the HBM
+        # growth the cap exists to prevent).
+        outs = []
+        pending = None
+        for i in range(0, len(grays), cap):
+            cur = run_chunk(grays[i : i + cap], wire=True)
+            if pending is not None:
+                outs.append(sift_ops._materialize_wire(pending, root_sift))
+            pending = cur
+        outs.append(sift_ops._materialize_wire(pending, root_sift))
+        return (
+            np.concatenate([o["desc"] for o in outs], axis=0),
+            np.concatenate([o["mask"] for o in outs], axis=0),
+        )
+    out = run_chunk(grays, wire=False)
+    desc, mask = out["desc"], out["mask"]
     if root_sift:
         desc = sift_ops._apply_root_sift(desc) * mask[..., None]
     return desc, mask

@@ -289,6 +289,32 @@ def test_sharded_sift_matches_single(mesh, rng):
     assert norms.size and np.allclose(norms, 1.0, atol=1e-3)
 
 
+def test_sharded_sift_overcap_wire_matches_single(mesh, rng, monkeypatch):
+    """Over-cap galleries take the pipelined uint8-wire path (chunked,
+    host-accumulated); results must equal the single-chunk mesh path and
+    the single-device kernel. device_batch=1 on the 8-dev mesh puts the
+    cap at 8, so 10 images exercise chunking + a ragged tail."""
+    from pyvisim_tpu.ops import sift as sift_ops
+    from pyvisim_tpu.parallel import sharded_sift_batch
+
+    cfg = sift_ops.SiftConfig(process_size=128, max_keypoints=256)
+    grays = [
+        (rng.random((90 + 5 * (i % 4), 110)) * 255).astype(np.uint8)
+        for i in range(10)
+    ]
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "1")
+    d_wire, m_wire = sharded_sift_batch(grays, mesh, cfg=cfg, root_sift=True)
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "16")
+    d_one, m_one = sharded_sift_batch(grays, mesh, cfg=cfg, root_sift=True)
+    assert d_wire.shape == d_one.shape == (10, 256, 128)
+    np.testing.assert_array_equal(np.asarray(m_wire), np.asarray(m_one))
+    # wire path quantizes desc to uint8 pre-Hellinger (lossless: the
+    # kernel saturate-casts to integers); allow only cast-level noise
+    np.testing.assert_allclose(
+        np.asarray(d_wire), np.asarray(d_one), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_sharded_checkpoint_resume(mesh, rng, tmp_path):
     """Production resume: save a DP-sharded TrainState, restore it into a
     freshly built trainer (new-process analog), re-apply the mesh
