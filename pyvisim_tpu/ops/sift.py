@@ -1039,24 +1039,53 @@ def _apply_root_sift(desc: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(desc)
 
 
+def _pack_wire(out, keys=None):
+    """Device-side wire packing for one chunk: descriptors cast to uint8
+    (LOSSLESS — `_descriptor` saturate-casts to integers 0..255) and every
+    other requested (B, N) float32 plane stacked into ONE ``_packed``
+    array. The relay charges a fixed ~30-40 ms round trip per host fetch,
+    so seven per-key fetches cost more in latency than their bytes; the
+    packed layout makes a chunk exactly two fetches (_packed, then desc).
+    ``keys`` filters which planes ride the wire (mask always does — the
+    materializer needs it); the production encoder path only ever reads
+    desc+mask, so it skips x/y/size/theta/response entirely."""
+    names = tuple(
+        k for k in out
+        if k != "desc" and (keys is None or k in keys or k == "mask")
+    )
+    return {
+        "desc": out["desc"].astype(jnp.uint8),
+        "_packed": jnp.stack([out[k] for k in names]),
+        "_packed_keys": names,
+    }
+
+
 def _materialize_wire(out, root_sift: bool) -> dict:
     """Fetch one wire-format chunk host-side. Rows are response-sorted
     valid-first (invalid rows rank at -1), so only the leading columns up
     to the batch's max valid count (bucketed to a power of two to bound
-    the slice-shape set) cross the relay as uint8 (1 byte/element —
-    ``_descriptor`` saturate-casts to integers 0..255, so the cast is
-    lossless); the fixed descriptor budget is restored by zero-padding
-    host-side, and root-SIFT (if any) is applied in f32 after the fetch.
-    Shared by the single-device pipeline (`sift_descriptors`) and the
-    mesh path (`parallel.sharded_sift_batch`)."""
-    host = {k: np.asarray(v) for k, v in out.items() if k != "desc"}
+    the slice-shape set) cross the relay as uint8 (1 byte/element); the
+    fixed descriptor budget is restored by zero-padding host-side, and
+    root-SIFT (if any) is applied in f32 after the fetch. Shared by the
+    single-device pipeline (`sift_descriptors`) and the mesh path
+    (`parallel.sharded_sift_batch`)."""
+    out = dict(out)
+    packed_keys = out.pop("_packed_keys", None)
+    if packed_keys is not None:
+        packed = np.asarray(out.pop("_packed"))
+        host = {k: packed[i] for i, k in enumerate(packed_keys)}
+    else:
+        host = {k: np.asarray(v) for k, v in out.items() if k != "desc"}
     mask = host["mask"]
     k_full = out["desc"].shape[1]
     n = max(int(mask.sum(axis=1).max()), 1)
     nb = k_full if n >= k_full else min(
         k_full, 1 << (n - 1).bit_length()
     )
-    d = np.asarray(out["desc"][:, :nb]).astype(np.float32)
+    # avoid dispatching an identity slice (one relay round trip) when the
+    # full column budget is being fetched anyway
+    src = out["desc"] if nb == k_full else out["desc"][:, :nb]
+    d = np.asarray(src).astype(np.float32)
     if root_sift:
         d = np.sqrt(d / (d.sum(axis=-1, keepdims=True) + 1e-7))
         d *= mask[:, :nb, None]
@@ -1072,10 +1101,14 @@ def sift_descriptors(
     grays: np.ndarray | list[np.ndarray],
     cfg: SiftConfig | None = None,
     root_sift: bool = False,
+    keys: tuple[str, ...] | None = None,
 ):
     """Full result dict for a batch of grayscale images (uint8/float 0..255
     HxW, any sizes — letterboxed host-side): desc (B, N, 128), mask (B, N),
-    x, y, size, theta in processing coordinates.
+    x, y, size, theta in processing coordinates. ``keys`` restricts which
+    result planes are fetched on the multi-chunk wire path (desc + mask
+    always are) — encoders pass ("desc", "mask") to skip five per-chunk
+    relay round trips for geometry they never read.
 
     The batch is padded up to a power-of-two bucket so ragged batch sizes
     reuse a handful of compiled programs instead of recompiling per size
@@ -1115,7 +1148,7 @@ def sift_descriptors(
         out = _sift_core(jnp.asarray(chunk), cfg)
         out = {k: v[:cb] for k, v in out.items()}
         if wire:
-            out["desc"] = out["desc"].astype(jnp.uint8)
+            out = _pack_wire(out, keys)
         elif root_sift:
             out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
         return out
@@ -1167,5 +1200,7 @@ def sift_batch(
     cfg = cfg or SiftConfig(max_keypoints=max_keypoints)
     if cfg.max_keypoints != max_keypoints:
         cfg = dataclasses.replace(cfg, max_keypoints=max_keypoints)
-    out = sift_descriptors(grays, cfg, root_sift=root_sift)
+    out = sift_descriptors(
+        grays, cfg, root_sift=root_sift, keys=("desc", "mask")
+    )
     return out["desc"], out["mask"]

@@ -156,7 +156,8 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
         out = fn(base_j)
         out = {k: v[:b] for k, v in out.items()}
         if wire:
-            out["desc"] = out["desc"].astype(jnp.uint8)
+            # pack to the 2-fetch wire; only desc+mask are ever returned
+            out = sift_ops._pack_wire(out, keys=("desc", "mask"))
         return out
 
     if len(grays) > cap:

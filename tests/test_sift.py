@@ -201,6 +201,35 @@ def test_sift_batch_chunks_large_batches(monkeypatch):
     np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_r), atol=1e-4)
 
 
+def test_sift_descriptors_packed_wire_full_dict(monkeypatch):
+    """The multi-chunk wire packs all non-desc planes into ONE stacked
+    fetch (relay round trips dominate small transfers); geometry planes
+    (x/y/size/theta/response) must survive the pack exactly, and the
+    keys= filter must not change desc/mask."""
+    from pyvisim_tpu.ops import sift as S
+
+    rng = np.random.default_rng(11)
+    cfg = S.SiftConfig(process_size=128, max_keypoints=64)
+    imgs = [(rng.random((90, 110)) * 255).astype(np.uint8) for _ in range(5)]
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "2")
+    full = S.sift_descriptors(imgs, cfg)
+    slim = S.sift_descriptors(imgs, cfg, keys=("desc", "mask"))
+    monkeypatch.setenv("PYVISIM_SIFT_DEVICE_BATCH", "16")
+    ref = S.sift_descriptors(imgs, cfg)
+
+    assert set(full) == {"desc", "mask", "x", "y", "size", "theta", "response"}
+    assert set(slim) == {"desc", "mask"}
+    for k in ("x", "y", "size", "theta", "response", "mask"):
+        np.testing.assert_array_equal(
+            np.asarray(full[k]), np.asarray(ref[k]), err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(full["desc"]), np.asarray(ref["desc"]), atol=1e-4
+    )
+    np.testing.assert_array_equal(full["desc"], slim["desc"])
+    np.testing.assert_array_equal(full["mask"], slim["mask"])
+
+
 def test_sift_config_radius_class_coverage():
     """ADVICE r2: the largest radius class must cover the worst-case patch
     radius — radius_class() clamps out-of-range scales to the last class,
