@@ -216,25 +216,45 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
 
 
 def _gather_refine_patches(dog, cand_r, cand_c, cfg: SiftConfig):
-    """(N, side, side, L+2) local DoG patches around integer candidates.
+    """(N, 2, side, 8, L+2) row-folded local DoG patches around integer
+    candidates, plus the per-candidate row residual s0.
 
-    The DoG is transposed to layer-minor (H, W, L) first: the patch
-    gather is segment-latency-bound (thousands of vmapped dynamic
-    slices), and in this layout each patch row's (col, layer) block is
-    ONE contiguous side*(L+2)-element run — 5x fewer segments per
-    candidate than the (L, H, W) layout, for one cheap dense transpose.
-    ``patch[n, i, j, l] = dog[l, r_n - reach - 1 + i, c_n - reach - 1 + j]``.
+    The patch gather is segment-latency-bound (thousands of vmapped
+    dynamic slices paying per contiguous run), so the padded DoG is
+    folded to (H8, W*8*(L+2)) with lane index w*8*(L+2) + s*(L+2) + l for
+    row 8*h8 + s: an arbitrary-row patch is then a (2, side*8*(L+2))
+    slice — 2 contiguous runs per candidate instead of one short
+    (col, layer) run per patch ROW. The old patch row ``i`` lives at
+    ``[i // 8 ... , s]`` via ``i = 8*q0 + s - s0`` with ``s0 = r % 8``;
+    the refinement's one-hot cube selects absorb s0 for free
+    (``_refine_candidates``).
+    ``patch[n, l, q0, j, s] = dog[l, 8*(r_n//8 + q0) + s - reach - 1,
+    c_n - reach - 1 + j]`` (relative to the reach+1 zero pad).
     """
     reach = cfg.refine_reach
     side = 2 * reach + 3
     n_total = dog.shape[0]
-    dogp = jnp.pad(dog, ((0, 0), (reach + 1, reach + 1), (reach + 1, reach + 1)))
-    dogp = jnp.transpose(dogp, (1, 2, 0)).astype(jnp.dtype(cfg.refine_dtype))
+    h, w = dog.shape[1], dog.shape[2]
+    rows_pad = -(-(h + 2 * (reach + 1)) // 8) * 8 + 8
+    dogp = jnp.pad(dog, ((0, 0), (reach + 1, rows_pad - h - reach - 1),
+                         (reach + 1, reach + 1)))
+    wp = dogp.shape[2]
+    dogp = dogp.astype(jnp.dtype(cfg.refine_dtype))
+    # Layer-MAJOR fold: only the minor two dims swap (8, W) -> (W, 8),
+    # the same cheap relayout the orientation/descriptor atlas uses. A
+    # layer-minor fold [w*8*L + s*L + l] was measured 4x SLOWER overall:
+    # its build transposes through a 5-element minor dim (~4% lane
+    # utilization), costing far more than the 5x segment saving returns.
+    folded = dogp.reshape(n_total, rows_pad // 8, 8, wp)
+    folded = jnp.transpose(folded, (0, 1, 3, 2))
+    folded = folded.reshape(n_total, rows_pad // 8, wp * 8)
 
     def patch_one(r, c):
-        return jax.lax.dynamic_slice(dogp, (r, c, 0), (side, side, n_total))
+        blk = jax.lax.dynamic_slice(
+            folded, (0, r // 8, c * 8), (n_total, 2, side * 8))
+        return blk.reshape(n_total, 2, side, 8)
 
-    return jax.vmap(patch_one)(cand_r, cand_c)
+    return jax.vmap(patch_one)(cand_r, cand_c), cand_r % 8
 
 
 def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftConfig):
@@ -268,7 +288,7 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     isz = side - 2  # stencil-evaluable interior side
 
     # 1) one local patch per candidate (see _gather_refine_patches)
-    patches = _gather_refine_patches(dog, cand_r, cand_c, cfg)
+    patches, s0 = _gather_refine_patches(dog, cand_r, cand_c, cfg)
 
     # 2) per-iteration 3x3x3 cube select via rank-1 one-hot contractions.
     # An earlier cut precomputed all 10 derivative stencils densely over
@@ -285,17 +305,27 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     def select(layer, dr, dc):
         """10 stencil scalars at local interior position (layer, dr, dc).
 
-        Interior (dr, dc) sits at patch (dr+1, dc+1); its 3x3 spatial
-        block spans patch rows dr..dr+2 / cols dc..dc+2, and the scale
-        cube spans patch layers layer-1..layer+1."""
-        rh = jax.nn.one_hot(dr[:, None] + tri, side, dtype=patches.dtype)
+        Interior (dr, dc) sits at patch row/col dr+1/dc+1; its 3x3
+        spatial block spans patch rows dr..dr+2 / cols dc..dc+2, and the
+        scale cube spans patch layers layer-1..layer+1. Patches are
+        row-folded (N, q0, col, s, l) with patch row i at
+        q16 = s0 + i = 8*q0 + s (see _gather_refine_patches), so the row
+        select factors into a chunk one-hot x subrow one-hot — the joint
+        one-hot over 16 folded rows is exactly their outer product."""
+        q16 = s0[:, None] + dr[:, None] + tri  # (N, 3) folded row ids
+        rq = jax.nn.one_hot(q16 // 8, 2, dtype=patches.dtype)
+        rs8 = jax.nn.one_hot(q16 % 8, 8, dtype=patches.dtype)
         ch = jax.nn.one_hot(dc[:, None] + tri, side, dtype=patches.dtype)
         lh = jax.nn.one_hot(layer[:, None] - 1 + tri, n_total)  # (N, 3, L+2)
-        tmp = jnp.einsum(
-            "nas,nstl->natl", rh, patches, preferred_element_type=jnp.float32
+        t1 = jnp.einsum(
+            "nas,nlqjs->nalqj", rs8, patches,
+            preferred_element_type=jnp.float32,
         )
+        tmp = jnp.einsum(
+            "naq,nalqj->nalj", rq, t1, preferred_element_type=jnp.float32
+        )  # (N, 3, L+2, side): rows dr..dr+2 selected
         blk = jnp.einsum(
-            "natl,nbt->nabl", tmp, ch, preferred_element_type=jnp.float32
+            "nalj,nbj->nabl", tmp, ch, preferred_element_type=jnp.float32
         )  # (N, 3, 3, L+2)
         cube = jnp.einsum(
             "ndl,nabl->ndab", lh, blk, preferred_element_type=jnp.float32
@@ -441,15 +471,12 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
 # ---------------------------------------------------------------------------
 def _magang_stacks(gauss: jnp.ndarray, pad: int, dtype=jnp.float32):
     """Dense per-octave gradient magnitude/angle stacks, zero-padded by
-    ``pad`` on H/W, fused along a leading channel axis.
+    ``pad`` on H/W, channel-PLANAR: (L, 2, H+2p, W+2p).
 
     OpenCV convention: dx = I[r, c+1] - I[r, c-1]; dy = I[r-1, c] - I[r+1, c]
-    (y-up); angle = atan2(dy, dx). Computed densely ONCE per octave pixel:
-    per-candidate patch extraction is then a single contiguous
-    ``dynamic_slice`` (element gathers were the dominant round-1 cost, and
-    separate dx/dy arrays cost two gather rounds per candidate plus a
-    sqrt/atan2 over every patch pixel in both the orientation and the
-    descriptor pass).
+    (y-up); angle = atan2(dy, dx). Computed densely ONCE per octave pixel;
+    per-candidate windows are then contiguous dynamic slices of the
+    row-folded atlas (see ``_grad_atlas``).
     """
     # Candidates only ever live on layers 1..L (refinement clips there), so
     # levels 0 and L+1..L+2 never feed a patch: build mag/ang for the L
@@ -459,43 +486,77 @@ def _magang_stacks(gauss: jnp.ndarray, pad: int, dtype=jnp.float32):
     dy = jnp.pad(g[:, :-2, :] - g[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
     mag = jnp.sqrt(dx * dx + dy * dy)
     ang = jnp.arctan2(dy, dx)
-    widths = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    widths = ((0, 0), (0, 0), (pad, pad), (pad, pad))
     # bf16 atlas storage halves HBM traffic of the per-candidate slices;
     # angle resolution ~0.012 rad is far inside the 36-bin histogram width.
-    # Channel-MINOR layout (L, H, W, 2): the per-candidate patch slice is
-    # segment-latency-bound, and interleaving mag/ang makes each patch row
-    # one contiguous 2P-element run — half the segments of the
-    # channel-major layout.
-    return jnp.pad(jnp.stack([mag, ang], axis=-1).astype(dtype), widths)
+    return jnp.pad(jnp.stack([mag, ang], axis=1).astype(dtype), widths)
 
 
-def _magang_patches(stacks, layer, r, c, radius: int, h, w, pad: int, row_off=0,
-                    img=None):
-    """(2R+1, 2R+1) magnitude/angle patches around (r, c) at ``layer`` via
-    ONE contiguous dynamic slice of the fused stacks, plus the OpenCV
-    border-validity mask (r, c within [1, dim-2]).
+def _window_rows(radius: int) -> int:
+    """h8-chunks a (2R+1)-row window can span at any row residual 0..7."""
+    return (2 * radius + 1 + 6) // 8 + 1
 
-    ``row_off`` relocates the slice into a cross-octave atlas (the stacks
-    of every octave concatenated along rows; see ``_grad_atlas``); ``h``/
-    ``w`` are then the candidate's own octave dims (traced scalars).
-    ``img`` addresses a batched (B, L, H, W, 2) atlas — the flattened
-    batchxcandidate work-queue layout."""
+
+def _magang_window(atlas, layer, r, c, radius: int, h, w, pad: int, row_off=0,
+                   img=None):
+    """Mag/angle window around (r, c) at ``layer`` from the row-folded
+    atlas, plus per-pixel (ii, jj) keypoint-relative offsets and the
+    OpenCV border-validity mask (r, c within [1, dim-2]).
+
+    The atlas folds each 8-row chunk into the minor axis (see
+    ``_grad_atlas``): (..., H8, W*8) with element [h8, w*8 + s] =
+    stack[8*h8 + s, w]. A (2R+1)-row window starting at an arbitrary row
+    is then ONE (nh8, P*8) slice — 2 contiguous ~P*8-element runs per
+    h8-chunk instead of one short run per patch ROW, which is what makes
+    the per-candidate gather segment-count (the measured round-2 bound)
+    collapse. The row residual s0 = start % 8 is not extracted; the
+    returned (ii, jj) offsets and masks absorb it (all consumers are
+    mask-driven), at the cost of processing nh8*8 rows (= P+7..P+14
+    instead of P — a ~1.1-1.3x pixel overcount that the dense VPU math
+    shrugs off).
+
+    Returns FLAT (n_pix,) = (nh8 * P * 8,) vectors: mag, ang in atlas
+    dtype, ii, jj float32 offsets from the keypoint, inb bool mask.
+    ``img`` addresses a batched (B, L, 2, H8, W*8) atlas.
+    """
     p = 2 * radius + 1
-    # stacks hold only the L addressable levels (see _magang_stacks)
+    nh8 = _window_rows(radius)
+    gr = r + pad + row_off  # global atlas row of the keypoint
+    rs = gr - radius
+    h8s = rs // 8
+    s0 = rs - 8 * h8s
+    ws = c - radius + pad
     if img is None:
-        start = (layer - 1, r - radius + pad + row_off, c - radius + pad, 0)
-        both = jax.lax.dynamic_slice(stacks, start, (1, p, p, 2))
-        mag, ang = both[0, :, :, 0], both[0, :, :, 1]
+        start = (layer - 1, 0, h8s, ws * 8)
+        blk = jax.lax.dynamic_slice(atlas, start, (1, 2, nh8, p * 8))
+        blk = blk[0]
     else:
-        start = (img, layer - 1, r - radius + pad + row_off,
-                 c - radius + pad, 0)
-        both = jax.lax.dynamic_slice(stacks, start, (1, 1, p, p, 2))
-        mag, ang = both[0, 0, :, :, 0], both[0, 0, :, :, 1]
-    off = jnp.arange(-radius, radius + 1)
-    rr = r + off[:, None]
-    cc = c + off[None, :]
-    inb = (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
-    return mag, ang, inb
+        start = (img, layer - 1, 0, h8s, ws * 8)
+        blk = jax.lax.dynamic_slice(atlas, start, (1, 1, 2, nh8, p * 8))
+        blk = blk[0, 0]
+    # FLAT (n_pix,) pixel vectors: vmapping over the candidate chunk then
+    # yields dense (chunk, n_pix) arrays — pixel math rides full 128-lane
+    # rows. (Keeping the (nh8, p, 8) window shape puts the 8-subrow axis
+    # minor: 8/128 lane utilization on every elementwise op — measured to
+    # cancel the fold's entire gather win.)
+    blk = blk.reshape(2, nh8 * p * 8)
+    mag, ang = blk[0], blk[1]
+    # pixel idx = (i0, i1, i2) -> atlas row 8*(h8s+i0)+i2, col ws+i1;
+    # the offset grids are trace-time constants (numpy), only s0 varies.
+    idx = np.arange(nh8 * p * 8)
+    i0 = idx // (p * 8)
+    i1 = (idx // 8) % p
+    i2 = idx % 8
+    ii_base = jnp.asarray((8 * i0 + i2 - radius).astype(np.float32))
+    jj = jnp.asarray((i1 - radius).astype(np.float32))
+    ii = ii_base - s0.astype(jnp.float32)
+    rr = r + ii
+    cc = c + jj
+    inb = (
+        (ii >= -radius) & (ii <= radius)
+        & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w - 1)
+    )
+    return mag, ang, ii, jj, inb
 
 
 def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig,
@@ -511,29 +572,23 @@ def _orientation(stacks, h, w, pad, layer, r, c, scl_oct, valid, cfg: SiftConfig
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
     R = cfg.ori_patch_radius if radius is None else radius
 
-    mag, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad, row_off,
-                                    img)
-    cdt = mag.dtype
-    off = jnp.arange(-R, R + 1).astype(jnp.float32)
-    ii = off[:, None]
-    jj = off[None, :]
+    mag, ang, ii, jj, inb = _magang_window(
+        stacks, layer, r, c, R, h, w, pad, row_off, img)
     in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
     wmask = (inb & in_radius).astype(jnp.float32)
     wgt = jnp.exp((ii * ii + jj * jj) * exp_scale) * wmask
     n_bins = 36
     fbin = ang.astype(jnp.float32) * (n_bins / (2.0 * jnp.pi))
     bin_idx = jnp.round(fbin).astype(jnp.int32) % n_bins  # OpenCV cvRound
-    one_hot = jax.nn.one_hot(bin_idx.reshape(-1), n_bins, dtype=cdt)  # (P^2, 36)
-    # Explicit multiply+reduce: a (1, P) x (P, 36) jnp.dot is an M=1 MXU
-    # matmul that streams the full K=P contraction for one output row;
-    # this VPU reduction form does the same math without touching the
-    # MXU. Measured whole-extractor effect: none beyond relay noise
-    # (the orientation stage is ~1.9 ms/img either way) — kept because
-    # it frees the MXU and is never slower (docs/PERF.md round 3).
+    # Transposed (36, n_pix) one-hot: the pixel axis stays minor/dense
+    # (full 128-lane rows once vmapped over the candidate chunk), where a
+    # (n_pix, 36) layout would run every row at 36/128 lane utilization.
+    # VPU multiply+reduce rather than an M=1 MXU matmul (frees the MXU;
+    # measured equal-or-better, docs/PERF.md round 3).
+    k36 = jnp.arange(n_bins, dtype=jnp.int32)[:, None]
+    wm = wgt * mag.astype(jnp.float32)
     hist = jnp.sum(
-        one_hot.astype(jnp.float32)
-        * (wgt * mag.astype(jnp.float32)).reshape(-1, 1),
-        axis=0,
+        (bin_idx[None, :] == k36).astype(jnp.float32) * wm[None, :], axis=1
     )
 
     # circular smoothing [1,4,6,4,1]/16
@@ -589,14 +644,11 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     radius_f = jnp.round(hist_width * 1.4142135623730951 * (d + 1) * 0.5)
     R = cfg.desc_patch_radius if radius is None else radius
 
-    mag_p, ang, inb = _magang_patches(stacks, layer, r, c, R, h, w, pad,
-                                      row_off, img)
+    mag_p, ang, ii, jj, inb = _magang_window(
+        stacks, layer, r, c, R, h, w, pad, row_off, img)
     cdt = mag_p.dtype
     ang = ang.astype(jnp.float32)
     mag_p = mag_p.astype(jnp.float32)
-    off = jnp.arange(-R, R + 1).astype(jnp.float32)
-    ii = off[:, None] + jnp.zeros((1, 2 * R + 1))  # row offsets i
-    jj = off[None, :] + jnp.zeros((2 * R + 1, 1))  # col offsets j
     in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
 
     c_rot = jj * cos_t - ii * sin_t
@@ -616,52 +668,35 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     w = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
     mag = mag_p * w * ok.astype(mag_p.dtype)
 
-    # trilinear weights as rank-1 products of small dense mixes
-    r0 = jnp.floor(rbin)
-    c0 = jnp.floor(cbin)
+    # Trilinear weights as HAT functions in TRANSPOSED (bins, n_pix)
+    # layout: wr[k, p] = max(0, 1 - |rbin_p + 1 - k|) puts weight 1-frac /
+    # frac on exactly the two adjacent bins — identical to the previous
+    # one-hot linear mixes — while keeping the pixel axis minor, so every
+    # build op runs dense 128-lane rows once vmapped over the candidate
+    # chunk (the (n_pix, 6)-layout one-hots ran at 6/128 utilization and
+    # dominated the stage). Orientation uses pos = o0 + frac with o0 the
+    # int-wrapped floor (OpenCV's decomposition), bins 0..9 with the
+    # circular border folded below.
     o0f = jnp.floor(obin)
-    rf = rbin - r0
-    cf = cbin - c0
     of_ = obin - o0f
     o0 = (o0f.astype(jnp.int32) % n + n) % n
+    pos_o = o0.astype(jnp.float32) + of_
 
-    p2 = (2 * R + 1) ** 2
-    r_idx = (r0.astype(jnp.int32) + 1).reshape(p2)  # in [0, 4]
-    c_idx = (c0.astype(jnp.int32) + 1).reshape(p2)
-    o_idx = o0.reshape(p2)
-    rf = rf.reshape(p2)
-    cf = cf.reshape(p2)
-    of_ = of_.reshape(p2)
-    mag = mag.reshape(p2)
-
-    # row/col mixes over d+2=6 bins; orientation over n+2=10 (o+1 may be n,
-    # folded circularly below like OpenCV's border fold)
-    wr = jax.nn.one_hot(r_idx, d + 2) * (1 - rf)[:, None] + jax.nn.one_hot(
-        r_idx + 1, d + 2
-    ) * rf[:, None]
-    wc = jax.nn.one_hot(c_idx, d + 2) * (1 - cf)[:, None] + jax.nn.one_hot(
-        c_idx + 1, d + 2
-    ) * cf[:, None]
-    wo = (
-        jax.nn.one_hot(o_idx, n + 2, dtype=cdt) * (1 - of_).astype(cdt)[:, None]
-        + jax.nn.one_hot(o_idx + 1, n + 2, dtype=cdt) * of_.astype(cdt)[:, None]
-    )
+    k36 = np.arange((d + 2) * (d + 2))
+    rk = jnp.asarray((k36 // (d + 2)).astype(np.float32))[:, None]
+    ck = jnp.asarray((k36 % (d + 2)).astype(np.float32))[:, None]
+    ko = jnp.asarray(np.arange(n + 2, dtype=np.float32))[:, None]
+    hat = lambda x: jnp.maximum(0.0, 1.0 - jnp.abs(x))  # noqa: E731
+    wrc = hat(rbin[None, :] + 1.0 - rk) * hat(cbin[None, :] + 1.0 - ck)
+    a = (wrc * mag[None, :]).astype(cdt)  # (36, n_pix)
+    wo = hat(pos_o[None, :] - ko).astype(cdt)  # (10, n_pix)
 
     # hist[r, c, o] = sum_p mag_p * wr[p, r] * wc[p, c] * wo[p, o], as ONE
-    # (36, P) x (P, 10) matmul per candidate: the K=P contraction streams
-    # through the MXU once instead of once per r-bin (the round-2 loop of
-    # six (6, P) x (P, 10) matmuls paid the full K-pass 6x). Measured
-    # effect: official bench 60.1 -> 62.3 img/s; the descriptor stage
-    # profile is equal within the relay's ±20% run-to-run variance —
-    # kept for the strictly smaller op count (docs/PERF.md round 3).
-    # The (P, 36) lhs lives per chunk-candidate in VMEM (bf16), bounded
-    # by the desc_chunk knob.
-    a = (
-        (wr[:, :, None] * wc[:, None, :]).reshape(p2, (d + 2) * (d + 2))
-        * mag[:, None]
-    ).astype(cdt)
-    hist = jnp.dot(
-        a.T, wo, preferred_element_type=jnp.float32
+    # lane-contracted (36, P) x (10, P) matmul per candidate (bf16 MXU
+    # inputs, f32 accumulation): both operands keep the pixel axis minor,
+    # so neither needs a relayout before the MXU.
+    hist = jax.lax.dot_general(
+        a, wo, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).reshape(d + 2, d + 2, n + 2)
 
     # fold circular orientation borders, keep interior 4x4 spatial bins
@@ -782,7 +817,10 @@ def _detect_octave(dog_o, budget, cfg: SiftConfig):
 
 
 def _atlas_layout(cfg: SiftConfig):
-    """Static (row_offsets, heights, widths) of the cross-octave atlas."""
+    """Static (row_offsets, heights, widths) of the cross-octave atlas.
+    Each octave's padded region height is rounded up to a multiple of 8 so
+    the row-folded layout (``_grad_atlas``) keeps every octave's rows
+    chunk-aligned (offsets stay multiples of 8)."""
     pad = cfg.desc_patch_radius
     offsets, heights, widths = [], [], []
     off = 0
@@ -791,28 +829,46 @@ def _atlas_layout(cfg: SiftConfig):
         offsets.append(off)
         heights.append(h)
         widths.append(w)
-        off += h + 2 * pad
+        off += -(-(h + 2 * pad) // 8) * 8
     return np.asarray(offsets), np.asarray(heights), np.asarray(widths)
 
 
 def _grad_atlas(gauss_octaves, cfg: SiftConfig):
-    """Concatenate every octave's padded mag/angle stacks along rows into a
-    single (L, H_total, W_max, 2) atlas (single image), so one
-    orientation / descriptor pass can serve candidates from ALL octaves
-    (the retained global top-k) instead of one chunked pass per octave.
-    Candidates address the atlas at ``r + row_offsets[octave]`` (plus
-    ``pad``)."""
+    """Cross-octave ROW-FOLDED mag/angle atlas: (L, 2, H8, W_max*8) with
+    element [l, ch, h8, w*8 + s] = stacks[l, ch, 8*h8 + s, w] and every
+    octave's padded region concatenated along the h8 axis.
+
+    The fold makes an arbitrary-row-start (2R+1)-col window ONE
+    (nh8, (2R+1)*8) dynamic slice whose contiguous runs are whole
+    (2R+1)*8-element chunks — the per-candidate gather is
+    segment-latency-bound (round-2 measurement), and this layout cuts the
+    segment count per window from one-per-patch-row (e.g. 81) to
+    one-per-8-rows (e.g. 11). Consumers absorb the row residual via masks
+    (``_magang_window``). Two zero h8-chunks pad the bottom so max-radius
+    windows of bottom-row keypoints of the last octave stay in bounds."""
     pad = cfg.desc_patch_radius
     w_max = gauss_octaves[0].shape[-1] + 2 * pad
+    offsets, heights, _ = _atlas_layout(cfg)
     blocks = []
     dtype = jnp.dtype(cfg.atlas_dtype)
-    for g in gauss_octaves:
-        stacks = _magang_stacks(g, pad, dtype)  # (L, h+2p, w+2p, 2)
-        extra = w_max - stacks.shape[-2]
-        blocks.append(
-            jnp.pad(stacks, ((0, 0), (0, 0), (0, extra), (0, 0)))
-        )
-    return jnp.concatenate(blocks, axis=-3)
+    for o, g in enumerate(gauss_octaves):
+        stacks = _magang_stacks(g, pad, dtype)  # (L, 2, h+2p, w+2p)
+        region_h = (offsets[o + 1] if o + 1 < len(offsets)
+                    else offsets[o] + -(-(heights[o] + 2 * pad) // 8) * 8
+                    ) - offsets[o]
+        extra_r = region_h - stacks.shape[-2]
+        extra_c = w_max - stacks.shape[-1]
+        blocks.append(jnp.pad(
+            stacks, ((0, 0), (0, 0), (0, extra_r), (0, extra_c))))
+    flat = jnp.concatenate(blocks, axis=-2)  # (L, 2, H_tot, W_max)
+    n_l = flat.shape[0]
+    h_tot = flat.shape[-2]
+    folded = flat.reshape(n_l, 2, h_tot // 8, 8, w_max)
+    folded = jnp.transpose(folded, (0, 1, 2, 4, 3))  # (L, 2, H8, W, 8)
+    folded = folded.reshape(n_l, 2, h_tot // 8, w_max * 8)
+    # +2 zero chunks: a bottom-row keypoint's window block can overshoot
+    # its region by up to R + 14 - pad <= 14 rows (see _magang_window)
+    return jnp.pad(folded, ((0, 0), (0, 0), (0, 2), (0, 0)))
 
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:

@@ -94,7 +94,7 @@ def main() -> None:
                         vals, layer, r_, c_, valid = S._rank_candidates(
                             dog_o, budget, cfg
                         )
-                        pat = S._gather_refine_patches(dog_o, r_, c_, cfg)
+                        pat, _s0 = S._gather_refine_patches(dog_o, r_, c_, cfg)
                         return jnp.sum(pat[:, :, ::3, ::3])
                     tot = tot + jnp.sum(jax.vmap(ga)(dog[o]))
                 return tot
