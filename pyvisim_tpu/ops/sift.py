@@ -91,10 +91,12 @@ class SiftConfig:
     # >= 0.8 * max (SIFT_ORI_PEAK_RATIO); False keeps only the dominant
     # orientation (faster, slightly fewer descriptors).
     multi_orientation: bool = True
-    # candidate-axis chunk sizes for the orientation/descriptor patch
-    # pipelines (memory vs sequential-step trade-off)
+    # candidate-axis chunk sizes for the refinement/orientation/descriptor
+    # patch pipelines (memory vs sequential-step trade-off; all three run
+    # valid-sorted flattened queues with a runtime all-invalid chunk skip)
     ori_chunk: int = 256
     desc_chunk: int = 64
+    refine_chunk: int = 512
 
     def __post_init__(self):
         if max(self.desc_radius_classes) > self.desc_patch_radius:
@@ -215,52 +217,68 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
     return mask & border[None, :, :]
 
 
-def _gather_refine_patches(dog, cand_r, cand_c, cfg: SiftConfig):
-    """(N, 2, side, 8, L+2) row-folded local DoG patches around integer
-    candidates, plus the per-candidate row residual s0.
+def _fold_dog(dog, cfg: SiftConfig):
+    """Row-fold one image's padded DoG to (L+2, H8, W*8) for the
+    refinement patch gather: element [l, h8, w*8 + s] = padded
+    dog[l, 8*h8 + s, w] (zero pad of reach+1 on each side; rows padded up
+    to a multiple of 8 plus one spare chunk so bottom-row patches stay in
+    bounds).
 
-    The patch gather is segment-latency-bound (thousands of vmapped
-    dynamic slices paying per contiguous run), so the padded DoG is
-    folded to (H8, W*8*(L+2)) with lane index w*8*(L+2) + s*(L+2) + l for
-    row 8*h8 + s: an arbitrary-row patch is then a (2, side*8*(L+2))
-    slice — 2 contiguous runs per candidate instead of one short
-    (col, layer) run per patch ROW. The old patch row ``i`` lives at
-    ``[i // 8 ... , s]`` via ``i = 8*q0 + s - s0`` with ``s0 = r % 8``;
-    the refinement's one-hot cube selects absorb s0 for free
-    (``_refine_candidates``).
-    ``patch[n, l, q0, j, s] = dog[l, 8*(r_n//8 + q0) + s - reach - 1,
-    c_n - reach - 1 + j]`` (relative to the reach+1 zero pad).
+    Layer-MAJOR fold: only the minor two dims swap (8, W) -> (W, 8), the
+    same cheap relayout the orientation/descriptor atlas uses. A
+    layer-minor fold [w*8*L + s*L + l] was measured 4x SLOWER overall:
+    its build transposes through a 5-element minor dim (~4% lane
+    utilization), costing far more than the 5x segment saving returns.
     """
     reach = cfg.refine_reach
-    side = 2 * reach + 3
     n_total = dog.shape[0]
-    h, w = dog.shape[1], dog.shape[2]
+    h = dog.shape[1]
     rows_pad = -(-(h + 2 * (reach + 1)) // 8) * 8 + 8
     dogp = jnp.pad(dog, ((0, 0), (reach + 1, rows_pad - h - reach - 1),
                          (reach + 1, reach + 1)))
     wp = dogp.shape[2]
     dogp = dogp.astype(jnp.dtype(cfg.refine_dtype))
-    # Layer-MAJOR fold: only the minor two dims swap (8, W) -> (W, 8),
-    # the same cheap relayout the orientation/descriptor atlas uses. A
-    # layer-minor fold [w*8*L + s*L + l] was measured 4x SLOWER overall:
-    # its build transposes through a 5-element minor dim (~4% lane
-    # utilization), costing far more than the 5x segment saving returns.
     folded = dogp.reshape(n_total, rows_pad // 8, 8, wp)
     folded = jnp.transpose(folded, (0, 1, 3, 2))
-    folded = folded.reshape(n_total, rows_pad // 8, wp * 8)
+    return folded.reshape(n_total, rows_pad // 8, wp * 8)
 
-    def patch_one(r, c):
+
+def _gather_refine_patches(folded, img, cand_r, cand_c, cfg: SiftConfig):
+    """(N, L+2, 2, side, 8) row-folded local DoG patches around integer
+    candidates of a BATCHED folded DoG (B, L+2, H8, W*8), plus the
+    per-candidate row residual s0.
+
+    The patch gather is segment-latency-bound (thousands of vmapped
+    dynamic slices paying per contiguous run); on the folded layout an
+    arbitrary-row patch is a (L+2, 2, side*8) slice — 2 contiguous runs
+    per layer instead of one short (col, layer) run per patch ROW. The
+    old patch row ``i`` lives at ``[.., q0, .., s]`` via
+    ``i = 8*q0 + s - s0`` with ``s0 = r % 8``; the refinement's one-hot
+    cube selects absorb s0 for free (``_refine_candidates``).
+    ``patch[n, l, q0, j, s] = dog[img_n, l, 8*(r_n//8 + q0) + s - reach
+    - 1, c_n - reach - 1 + j]`` (relative to the reach+1 zero pad).
+    """
+    reach = cfg.refine_reach
+    side = 2 * reach + 3
+    n_total = folded.shape[1]
+
+    def patch_one(im, r, c):
         blk = jax.lax.dynamic_slice(
-            folded, (0, r // 8, c * 8), (n_total, 2, side * 8))
+            folded, (im, 0, r // 8, c * 8), (1, n_total, 2, side * 8))
         return blk.reshape(n_total, 2, side, 8)
 
-    return jax.vmap(patch_one)(cand_r, cand_c), cand_r % 8
+    return jax.vmap(patch_one)(img, cand_r, cand_c), cand_r % 8
 
 
-def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftConfig):
+def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
+                       h, w, cfg: SiftConfig):
     """Iterative quadratic subpixel refinement (OpenCV adjustLocalExtrema).
 
-    dog: (L+2, H, W) in 0..255 scale. cand_layer in [1, L]. Returns tuple of
+    folded: (B, L+2, H8, W*8) row-folded DoG of the whole batch at this
+    octave (``_fold_dog``), values in 0..255 scale; ``img`` indexes it
+    per candidate (the candidate queue is flattened across the batch so
+    the caller can chunk-skip all-invalid spans). ``h``/``w`` are the
+    octave's static dims. cand_layer in [1, L]. Returns tuple of
     per-candidate arrays: layer, r, c (ints), xr, xc, xi (offsets),
     contrast (normalized 0..1 scale), valid.
 
@@ -268,27 +286,23 @@ def _refine_candidates(dog, cand_layer, cand_r, cand_c, cand_valid, cfg: SiftCon
     cube per candidate per iteration (vmapped ``dynamic_slice``); gather
     latency made each of the 6 gather rounds cost ~8 ms/img. Instead:
 
-    1. gather ONE (L+2, 13, 13) local patch per candidate — the iteration
-       moves at most ``refine_steps`` (=5) pixels, so every reachable cube
-       lives inside it;
-    2. evaluate all derivative stencils (value, gradient, Hessian) densely
-       over the patch interior with static slices — pure VPU;
-    3. each iteration *selects* its 10 scalars with a one-hot (363,) dot —
-       an MXU matmul, no gathers inside the loop.
+    1. gather ONE local patch per candidate — the iteration moves at most
+       ``refine_steps`` (=5) pixels, so every reachable cube lives inside;
+    2. each iteration *selects* its 27-value cube with rank-1 one-hot
+       contractions — MXU matmuls, no gathers inside the loop.
     """
     img_scale = 1.0 / 255.0
     deriv_scale = img_scale * 0.5
     second_deriv_scale = img_scale
     cross_deriv_scale = img_scale * 0.25
-    h, w = dog.shape[1], dog.shape[2]
     n_layers = cfg.n_octave_layers
-    n_total = dog.shape[0]  # L+2
+    n_total = folded.shape[1]  # L+2
     reach = cfg.refine_reach  # max pixels moved
     side = 2 * reach + 3  # patch side: interior +-reach, stencil halo +-1
     isz = side - 2  # stencil-evaluable interior side
 
     # 1) one local patch per candidate (see _gather_refine_patches)
-    patches, s0 = _gather_refine_patches(dog, cand_r, cand_c, cfg)
+    patches, s0 = _gather_refine_patches(folded, img, cand_r, cand_c, cfg)
 
     # 2) per-iteration 3x3x3 cube select via rank-1 one-hot contractions.
     # An earlier cut precomputed all 10 derivative stencils densely over
@@ -722,7 +736,7 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
-def _chunked_vmap(fn, args, chunk: int, valid=None):
+def _chunked_vmap(fn, args, chunk: int, valid=None, batched: bool = False):
     """vmap ``fn`` over the leading axis, sequentially in chunks via
     ``lax.map`` — bounds the live memory of per-candidate patch pipelines
     (a full vmap would materialize every candidate's patches at once).
@@ -733,25 +747,30 @@ def _chunked_vmap(fn, args, chunk: int, valid=None):
     map, not a vmap). The candidate budget is a worst-case bound and rows
     arrive response-sorted (valid first), so on typical photographs most
     trailing chunks skip and the orientation/descriptor cost tracks the
-    actual keypoint count instead of the budget."""
+    actual keypoint count instead of the budget.
+
+    ``batched``: ``fn`` already consumes (chunk,)-leading arrays (e.g. the
+    refinement, written batch-style) — call it directly instead of
+    vmapping a per-row function."""
     k = args[0].shape[0]
     if k % chunk != 0:
         chunk = math.gcd(k, chunk) or 1
     n_chunks = k // chunk
+    call = fn if batched else (lambda *ch: jax.vmap(fn)(*ch))
     reshaped = tuple(a.reshape((n_chunks, chunk) + a.shape[1:]) for a in args)
     if valid is None:
-        out = jax.lax.map(lambda ch: jax.vmap(fn)(*ch), reshaped)
+        out = jax.lax.map(lambda ch: call(*ch), reshaped)
     else:
         v_chunks = valid.reshape(n_chunks, chunk)
         out_sd = jax.eval_shape(
-            lambda ch: jax.vmap(fn)(*ch), tuple(a[0] for a in reshaped)
+            lambda ch: call(*ch), tuple(a[0] for a in reshaped)
         )
 
         def run(ch_v):
             ch, v = ch_v
             return jax.lax.cond(
                 jnp.any(v),
-                lambda: jax.vmap(fn)(*ch),
+                lambda: call(*ch),
                 lambda: jax.tree_util.tree_map(
                     lambda s: jnp.zeros(s.shape, s.dtype), out_sd
                 ),
@@ -794,14 +813,47 @@ def _rank_candidates(dog_o, budget: int, cfg: SiftConfig):
     return vals, layer, r_.astype(jnp.int32), c_.astype(jnp.int32), valid
 
 
-def _detect_octave(dog_o, budget, cfg: SiftConfig):
-    """Single-image octave detection (no orientation/descriptors here).
-    dog_o (L+2, H, W) -> dict of per-candidate arrays (budget,)."""
-    vals, layer, r_, c_, valid = _rank_candidates(dog_o, budget, cfg)
+def _detect_octave(dog_o_batch, budget, cfg: SiftConfig):
+    """Whole-batch octave detection (no orientation/descriptors here).
+    dog_o_batch (B, L+2, H, W) -> dict of (B, budget) per-candidate
+    arrays.
 
-    layer, r, c, xr, xc, xi, contr, ok = _refine_candidates(
-        dog_o, layer, r_, c_, valid, cfg
+    The refinement runs over a FLATTENED batch x candidate queue sorted
+    valid-first and chunked with a runtime all-invalid skip
+    (``_chunked_vmap``), the same structure as the orientation and
+    descriptor passes: the per-octave budget is a worst-case bound
+    (octave 0 carries max_keypoints rows) while real extrema counts are
+    usually far smaller, so per-image batched refinement paid the budget
+    where this pays the actual candidate count."""
+    b_sz = dog_o_batch.shape[0]
+    h, w = dog_o_batch.shape[2], dog_o_batch.shape[3]
+    vals, layer, r_, c_, valid = jax.vmap(
+        lambda d: _rank_candidates(d, budget, cfg)
+    )(dog_o_batch)
+    folded = jax.vmap(lambda d: _fold_dog(d, cfg))(dog_o_batch)
+
+    k = valid.shape[1]
+    flat_img = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), k)
+    flat = (layer.reshape(-1), r_.reshape(-1), c_.reshape(-1),
+            valid.reshape(-1))
+    # valid-first stable sort; _rank_candidates emits rows response-sorted
+    # per image, so valid rows of every image pack to the front
+    order = jnp.argsort(jnp.where(flat[3], 0, 1).astype(jnp.int32),
+                        stable=True)
+    inv = jnp.argsort(order)
+    s_img = flat_img[order]
+    s_layer, s_r, s_c, s_valid = (a[order] for a in flat)
+
+    refined = _chunked_vmap(
+        lambda im, l, rr, cc, v: _refine_candidates(
+            folded, im, l, rr, cc, v, h, w, cfg),
+        (s_img, s_layer, s_r, s_c, s_valid),
+        chunk=min(cfg.refine_chunk, b_sz * k),
+        valid=s_valid,
+        batched=True,
     )
+    layer, r, c, xr, xc, xi, contr, ok = (
+        a[inv].reshape(b_sz, k) for a in refined)
     scl_oct = cfg.sigma * 2.0 ** ((layer.astype(jnp.float32) + xi) / cfg.n_octave_layers)
     return {
         "layer": layer,
@@ -928,7 +980,7 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     per_octave = []
     for o in range(cfg.n_octaves):
         budget = cfg.octave_budget(o)
-        out = jax.vmap(lambda d: _detect_octave(d, budget, cfg))(dog[o])
+        out = _detect_octave(dog[o], budget, cfg)
         out["octave"] = jnp.full(out["r"].shape, o, jnp.int32)
         per_octave.append(out)
     merged = {

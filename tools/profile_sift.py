@@ -89,19 +89,22 @@ def main() -> None:
                 tot = 0.0
                 for o in range(cfg.n_octaves):
                     budget = cfg.octave_budget(o)
-
-                    def ga(dog_o, budget=budget):
-                        vals, layer, r_, c_, valid = S._rank_candidates(
-                            dog_o, budget, cfg
-                        )
-                        pat, _s0 = S._gather_refine_patches(dog_o, r_, c_, cfg)
-                        return jnp.sum(pat[:, :, ::3, ::3])
-                    tot = tot + jnp.sum(jax.vmap(ga)(dog[o]))
+                    dog_o = dog[o]
+                    b_sz = dog_o.shape[0]
+                    _v, _l, r_, c_, _ok = jax.vmap(
+                        lambda d: S._rank_candidates(d, budget, cfg)
+                    )(dog_o)
+                    folded = jax.vmap(lambda d: S._fold_dog(d, cfg))(dog_o)
+                    k = r_.shape[1]
+                    im = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), k)
+                    pat, _s0 = S._gather_refine_patches(
+                        folded, im, r_.reshape(-1), c_.reshape(-1), cfg)
+                    tot = tot + jnp.sum(pat[:, :, ::3, ::3])
                 return tot
             per_octave = []
             for o in range(cfg.n_octaves):
                 budget = cfg.octave_budget(o)
-                out = jax.vmap(lambda d: S._detect_octave(d, budget, cfg))(dog[o])
+                out = S._detect_octave(dog[o], budget, cfg)
                 out["octave"] = jnp.full(out["r"].shape, o, jnp.int32)
                 per_octave.append(out)
             merged = {
