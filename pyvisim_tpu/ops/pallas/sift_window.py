@@ -1,0 +1,257 @@
+"""Fused SIFT descriptor window kernel (gather + histogram in one pass).
+
+Parity anchor: OpenCV ``calcSIFTDescriptor`` semantics as implemented by
+the XLA path in ``ops/sift.py::_descriptor`` (reference delegation point:
+/root/reference/pyvisim/features/_features.py:78-79). This kernel is a
+performance backend for the same math, selected by
+``SiftConfig.patch_backend``; the XLA path remains the reference
+implementation and both are cross-checked in tests/test_pallas.py.
+
+Why a kernel: the XLA descriptor pass materializes its per-chunk
+``(chunk, 36, n_pix)`` trilinear-weight tensors in HBM between the build
+and the contraction, and pays vmapped-``dynamic_slice`` latency per
+window gather. Here each grid step DMAs a GROUP of 8 candidates'
+folded-atlas windows straight into VMEM (group-double-buffered: group
+i+1's copies are in flight while group i computes), builds the
+hat-function weights row-chunk by row-chunk, and accumulates each
+(36, 10) histogram in registers — descriptors leave the kernel as the
+only HBM write. The 8-candidate grouping amortizes the per-grid-step
+pipeline overhead, measured at ~1.7 us/step with per-candidate steps
+(docs/PERF.md round 3); per-candidate scalars ride the scalar-prefetch
+SMEM arrays, so no per-step operand blocks remain.
+
+Geometry mirrors ``ops/sift.py::_magang_window``: the atlas folds each
+8-row chunk into the minor axis ((..., H8, 2, W*8), element
+[h8, ch, w*8+s] = stack[ch, 8*h8+s, w]) and the kernel sees it as a
+flat (rows, 2, W*8) ref — row starts land on an untiled dim and slice
+freely; the channel pair on the second-minor dim matches bf16's 2-row
+sublane packing and makes one DMA cover both channels. Lane starts are
+16-column (128-lane) aligned and widths are full 128-lane tiles, with
+the residuals absorbed by the mask math (mask-driven end to end — no
+extraction step).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["descriptor_window_pass"]
+
+_D = 4  # spatial histogram grid
+_N = 8  # orientation bins
+_G = 8  # candidates per grid step
+
+
+def _window_geom(radius: int):
+    """Static window geometry for a radius class: h8-chunk count and the
+    lane width of the 16-col-aligned window."""
+    p = 2 * radius + 1
+    nh8 = (p + 6) // 8 + 1
+    # 16-col alignment slack, folded 8 rows/col, rounded up to a full
+    # 128-lane tile (DMA slice widths must be lane-tile multiples)
+    lw = -(-(p + 16) * 8 // 128) * 128
+    return p, nh8, lw
+
+
+def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
+                          *, radius: int, nh8: int, lw: int):
+    """OpenCV calcSIFTDescriptor math over one (nh8, lw) mag/ang window.
+    Mirrors ops/sift.py::_descriptor (see its comments); all masks are
+    window-relative so alignment residuals (s0 rows, cres cols) need no
+    extraction. Returns the (16, 8) descriptor grid, already normalized
+    and rounded."""
+    f32 = jnp.float32
+    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
+    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
+    row_c = (8 * i0g + (qg % 8)).astype(f32)
+    col_c = (qg // 8).astype(f32)
+    R = float(radius)
+    ii = row_c - (s0 + R)
+    jj = col_c - (R + cres)  # col = ws16 + q//8 = ws - cres + q//8
+
+    hist_width = 3.0 * scl
+    cos_t = jnp.cos(theta) / hist_width
+    sin_t = jnp.sin(theta) / hist_width
+    bins_per_rad = _N / (2.0 * np.pi)
+    exp_scale = -1.0 / (_D * _D * 0.5)
+    radius_f = jnp.round(hist_width * 1.4142135623730951 * (_D + 1) * 0.5)
+
+    rr = r + ii
+    cc = c + jj
+    inb = (
+        (ii >= -R) & (ii <= R) & (jj >= -R) & (jj <= R)
+        & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
+    )
+    in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
+
+    c_rot = jj * cos_t - ii * sin_t
+    r_rot = jj * sin_t + ii * cos_t
+    rbin = r_rot + _D / 2 - 0.5
+    cbin = c_rot + _D / 2 - 0.5
+    ok = (
+        in_radius & inb
+        & (rbin > -1.0) & (rbin < _D) & (cbin > -1.0) & (cbin < _D)
+    )
+    obin = (ang - theta) * bins_per_rad
+    wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
+    mag = mag_w * wgt * ok.astype(f32)
+
+    o0f = jnp.floor(obin)
+    of_ = obin - o0f
+    o0 = (o0f.astype(jnp.int32) % _N + _N) % _N
+    pos_o = o0.astype(f32) + of_
+
+    # iota must be integer-typed on TPU; cast after
+    k6 = jax.lax.broadcasted_iota(jnp.int32, (_D + 2, 1), 0).astype(f32)
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N + 2, 1), 0).astype(f32)
+
+    def hat(x):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+    # hist[rc, o] accumulated over the nh8 row-chunks; hat weights are
+    # built (6, lw) per chunk and expanded to (36, lw) by repeat/tile so
+    # the expensive ops touch 12*lw elements, not 72*lw
+    hist = jnp.zeros(((_D + 2) * (_D + 2), _N + 2), f32)
+    for i0 in range(nh8):
+        hr = hat(rbin[i0:i0 + 1, :] + 1.0 - k6)  # (6, lw)
+        hc = hat(cbin[i0:i0 + 1, :] + 1.0 - k6)  # (6, lw)
+        # rows k = r*6 + c: hr needs element-repeat (row k -> hr[k//6],
+        # via broadcast+reshape), hc needs tile (row k -> hc[k%6];
+        # pltpu.repeat is whole-block tile semantics)
+        hr36 = jnp.broadcast_to(
+            hr[:, None, :], (_D + 2, _D + 2, lw)).reshape(
+                (_D + 2) * (_D + 2), lw)
+        hc36 = pltpu.repeat(hc, _D + 2, 0)
+        a = (hr36 * hc36 * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
+        wo = hat(pos_o[i0:i0 + 1, :] - ko).astype(jnp.bfloat16)
+        hist = hist + jax.lax.dot_general(
+            a, wo, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+
+    # keep interior 4x4 spatial rows of the (36, 10) hist, fold the two
+    # circular orientation borders onto bins 0/1 (pad arithmetic —
+    # scatter ops don't lower in Pallas TPU), and compact the 36 rows to
+    # the 16 interior ones via a one-hot matmul (static gather — also
+    # not lowerable as jnp indexing)
+    rows16 = jax.lax.broadcasted_iota(jnp.int32, (36, 1), 0)
+    folded = hist[:, :_N] + jnp.pad(
+        hist[:, _N:_N + 2], ((0, 0), (0, _N - 2)))
+    r16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    src_row = (r16 // _D + 1) * 6 + (r16 % _D + 1)  # (16, 1)
+    sel = (src_row == rows16.reshape(1, 36)).astype(f32)  # (16, 36)
+    vec = jax.lax.dot_general(
+        sel, folded, (((1,), (0,)), ((), ())),
+        preferred_element_type=f32)  # (16, 8); flattened by the caller
+
+    nrm2 = jnp.sum(vec * vec)
+    thr = jnp.sqrt(nrm2) * 0.2
+    vec = jnp.minimum(vec, thr)
+    nrm2 = jnp.sum(vec * vec)
+    scale = 512.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-12)
+    return jnp.round(jnp.minimum(vec * scale, 255.0))
+
+
+def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
+                 radius: int, nh8: int, lw: int):
+    """_G candidates per grid step, group-double-buffered DMAs.
+
+    iref (8, n) int32 scalar-prefetch rows:
+      0 window start row in the flat (rows, 2, W*8) atlas (one DMA
+      covers both mag/ang channels on the second-minor dim), 2 active
+      flag, 3 row residual s0 (0..7), 4 col residual (0..15), 5 aligned
+      lane start (multiple of 128).
+    fref (8, n) f32 scalar-prefetch rows: 0 scl_oct, 1 theta, 2 r, 3 c,
+      4 h, 5 w.
+    out (_G, 16, 8) f32 block per step (4x4x8 descriptor grids;
+    flattened to 128 by the caller).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    f32 = jnp.float32
+
+    def mk(slot, g, k):
+        j = g * _G + k
+        return pltpu.make_async_copy(
+            atlas_ref.at[
+                pl.ds(iref[0, j], nh8), :,
+                pl.ds(pl.multiple_of(iref[5, j], 128), lw)],
+            sb.at[slot, k],
+            sems.at[slot, k],
+        )
+
+    def start(slot, g):
+        for k in range(_G):
+            @pl.when(iref[2, g * _G + k] > 0)
+            def _():
+                mk(slot, g, k).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    for k in range(_G):
+        j = i * _G + k
+        active = iref[2, j] > 0
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_ref[k] = jnp.zeros((16, _N), f32)
+
+        @pl.when(active)
+        def _():
+            mk(i % 2, i, k).wait()
+            mag_w = sb[i % 2, k, :, 0, :].astype(f32)  # (nh8, lw)
+            ang = sb[i % 2, k, :, 1, :].astype(f32)
+            out_ref[k] = _candidate_descriptor(
+                mag_w, ang,
+                fref[0, j], fref[1, j], fref[2, j], fref[3, j],
+                fref[4, j], fref[5, j],
+                iref[3, j].astype(f32), iref[4, j].astype(f32),
+                radius=radius, nh8=nh8, lw=lw)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "interpret"))
+def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
+                           interpret: bool = False):
+    """Run the fused descriptor kernel over a candidate chunk.
+
+    atlas_flat: (rows, 2, W8) folded atlas view (see ops/sift.py).
+    ints: (8, n) int32 (see _desc_kernel). flts: (n, 8) float32.
+    Returns (n, 128) float32 descriptors (zeros for inactive rows).
+    """
+    n = ints.shape[1]
+    n_pad = -(-n // _G) * _G
+    if n_pad != n:
+        ints = jnp.pad(ints, ((0, 0), (0, n_pad - n)))
+        flts = jnp.pad(flts, ((0, n_pad - n), (0, 0)))
+    _, nh8, lw = _window_geom(radius)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // _G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_G, 16, _N), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
+            pltpu.SemaphoreType.DMA((2, _G)),
+        ],
+    )
+    kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 16, _N), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ints, flts.T, atlas_flat)
+    return out.reshape(n_pad, 128)[:n]

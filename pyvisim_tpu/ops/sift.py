@@ -97,6 +97,11 @@ class SiftConfig:
     ori_chunk: int = 256
     desc_chunk: int = 64
     refine_chunk: int = 512
+    # Descriptor-stage backend: "pallas" fuses window gather + histogram
+    # into one kernel (ops/pallas/sift_window.py), "xla" is the reference
+    # vmapped path, "auto" picks pallas on accelerators and xla on CPU.
+    patch_backend: str = "auto"
+    pallas_chunk: int = 1024
 
     def __post_init__(self):
         if max(self.desc_radius_classes) > self.desc_patch_radius:
@@ -531,7 +536,7 @@ def _magang_window(atlas, layer, r, c, radius: int, h, w, pad: int, row_off=0,
 
     Returns FLAT (n_pix,) = (nh8 * P * 8,) vectors: mag, ang in atlas
     dtype, ii, jj float32 offsets from the keypoint, inb bool mask.
-    ``img`` addresses a batched (B, L, 2, H8, W*8) atlas.
+    ``img`` addresses a batched (B, L, H8, 2, W*8) atlas.
     """
     p = 2 * radius + 1
     nh8 = _window_rows(radius)
@@ -541,20 +546,20 @@ def _magang_window(atlas, layer, r, c, radius: int, h, w, pad: int, row_off=0,
     s0 = rs - 8 * h8s
     ws = c - radius + pad
     if img is None:
-        start = (layer - 1, 0, h8s, ws * 8)
-        blk = jax.lax.dynamic_slice(atlas, start, (1, 2, nh8, p * 8))
+        start = (layer - 1, h8s, 0, ws * 8)
+        blk = jax.lax.dynamic_slice(atlas, start, (1, nh8, 2, p * 8))
         blk = blk[0]
     else:
-        start = (img, layer - 1, 0, h8s, ws * 8)
-        blk = jax.lax.dynamic_slice(atlas, start, (1, 1, 2, nh8, p * 8))
+        start = (img, layer - 1, h8s, 0, ws * 8)
+        blk = jax.lax.dynamic_slice(atlas, start, (1, 1, nh8, 2, p * 8))
         blk = blk[0, 0]
     # FLAT (n_pix,) pixel vectors: vmapping over the candidate chunk then
     # yields dense (chunk, n_pix) arrays — pixel math rides full 128-lane
     # rows. (Keeping the (nh8, p, 8) window shape puts the 8-subrow axis
     # minor: 8/128 lane utilization on every elementwise op — measured to
     # cancel the fold's entire gather win.)
-    blk = blk.reshape(2, nh8 * p * 8)
-    mag, ang = blk[0], blk[1]
+    mag = blk[:, 0, :].reshape(nh8 * p * 8)
+    ang = blk[:, 1, :].reshape(nh8 * p * 8)
     # pixel idx = (i0, i1, i2) -> atlas row 8*(h8s+i0)+i2, col ws+i1;
     # the offset grids are trace-time constants (numpy), only s0 varies.
     idx = np.arange(nh8 * p * 8)
@@ -886,8 +891,8 @@ def _atlas_layout(cfg: SiftConfig):
 
 
 def _grad_atlas(gauss_octaves, cfg: SiftConfig):
-    """Cross-octave ROW-FOLDED mag/angle atlas: (L, 2, H8, W_max*8) with
-    element [l, ch, h8, w*8 + s] = stacks[l, ch, 8*h8 + s, w] and every
+    """Cross-octave ROW-FOLDED mag/angle atlas: (L, H8, 2, W_max*8) with
+    element [l, h8, ch, w*8 + s] = stacks[l, ch, 8*h8 + s, w] and every
     octave's padded region concatenated along the h8 axis.
 
     The fold makes an arbitrary-row-start (2R+1)-col window ONE
@@ -899,7 +904,11 @@ def _grad_atlas(gauss_octaves, cfg: SiftConfig):
     (``_magang_window``). Two zero h8-chunks pad the bottom so max-radius
     windows of bottom-row keypoints of the last octave stay in bounds."""
     pad = cfg.desc_patch_radius
-    w_max = gauss_octaves[0].shape[-1] + 2 * pad
+    # +32 cols: the Pallas window kernel aligns lane starts down to
+    # 16-col boundaries and rounds its slice width up to full 128-lane
+    # tiles, so a right-edge window may read up to 31 cols past
+    # w + 2*pad (zeros, mask-excluded)
+    w_max = gauss_octaves[0].shape[-1] + 2 * pad + 32
     offsets, heights, _ = _atlas_layout(cfg)
     blocks = []
     dtype = jnp.dtype(cfg.atlas_dtype)
@@ -916,11 +925,17 @@ def _grad_atlas(gauss_octaves, cfg: SiftConfig):
     n_l = flat.shape[0]
     h_tot = flat.shape[-2]
     folded = flat.reshape(n_l, 2, h_tot // 8, 8, w_max)
-    folded = jnp.transpose(folded, (0, 1, 2, 4, 3))  # (L, 2, H8, W, 8)
-    folded = folded.reshape(n_l, 2, h_tot // 8, w_max * 8)
+    # final layout (L, H8, 2, W*8): the channel PAIR sits on the
+    # second-minor dim, which (a) makes a window one slice covering both
+    # channels and (b) exactly matches bf16's 2-row sublane packing, so
+    # the Pallas kernel's full-dim channel slice stays tile-aligned (a
+    # size-1 dummy dim there gets folded into the packing by Mosaic and
+    # becomes unsliceable)
+    folded = jnp.transpose(folded, (0, 2, 1, 4, 3))  # (L, H8, 2, W, 8)
+    folded = folded.reshape(n_l, h_tot // 8, 2, w_max * 8)
     # +2 zero chunks: a bottom-row keypoint's window block can overshoot
     # its region by up to R + 14 - pad <= 14 rows (see _magang_window)
-    return jnp.pad(folded, ((0, 0), (0, 0), (0, 2), (0, 0)))
+    return jnp.pad(folded, ((0, 0), (0, 2), (0, 0), (0, 0)))
 
 
 def _letterbox(gray: np.ndarray, size: int) -> np.ndarray:
@@ -1101,21 +1116,55 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     f_row_off = offsets[fq["octave"]]
     f_hh = heights[fq["octave"]]
     f_ww = widths[fq["octave"]]
+    use_pallas = cfg.patch_backend == "pallas" or (
+        cfg.patch_backend == "auto" and jax.default_backend() != "cpu"
+    )
+    interp = jax.default_backend() == "cpu"
     desc = jnp.zeros((bk, 128), jnp.float32)
     for ci, radius in enumerate(cfg.desc_radius_classes):
         pv = fq["valid"] & (dcls_s == ci)
-        desc = desc + _chunked_vmap(
-            lambda im, l, rr, cc, s, t, v, ro, h_, w_: _descriptor(
-                atlas, h_, w_, pad, l, rr, cc, s, t, v, cfg, ro,
-                radius=radius, img=im,
-            ),
-            (
-                fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
-                fq["theta"], pv, f_row_off, f_hh, f_ww,
-            ),
-            chunk=min(cfg.desc_chunk, bk),
-            valid=pv,
-        )
+        if use_pallas:
+            from .pallas.sift_window import descriptor_window_pass
+
+            h8t = atlas.shape[2]
+            atlas_flat = atlas.reshape(-1, 2, atlas.shape[-1])
+            n_l = cfg.n_octave_layers
+            gr = fq["r"] + pad + f_row_off
+            rs = gr - radius
+            ws = fq["c"] - radius + pad
+            ws16 = (ws // 16) * 16
+            row0 = (fq["img"] * n_l + (fq["layer"] - 1)) * h8t + rs // 8
+            zi = jnp.zeros_like(ws)
+            ints = jnp.stack(
+                [row0, zi, pv.astype(jnp.int32), rs % 8,
+                 ws - ws16, ws16 * 8, zi, zi], axis=1)
+            flts = jnp.stack(
+                [fq["scl_oct"], fq["theta"],
+                 fq["r"].astype(jnp.float32), fq["c"].astype(jnp.float32),
+                 f_hh.astype(jnp.float32), f_ww.astype(jnp.float32),
+                 jnp.zeros_like(fq["scl_oct"]),
+                 jnp.zeros_like(fq["scl_oct"])], axis=1)
+            desc = desc + _chunked_vmap(
+                lambda i8, f8, radius=radius: descriptor_window_pass(
+                    atlas_flat, i8.T, f8, radius=radius, interpret=interp),
+                (ints, flts),
+                chunk=min(cfg.pallas_chunk, bk),
+                valid=pv,
+                batched=True,
+            )
+        else:
+            desc = desc + _chunked_vmap(
+                lambda im, l, rr, cc, s, t, v, ro, h_, w_: _descriptor(
+                    atlas, h_, w_, pad, l, rr, cc, s, t, v, cfg, ro,
+                    radius=radius, img=im,
+                ),
+                (
+                    fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
+                    fq["theta"], pv, f_row_off, f_hh, f_ww,
+                ),
+                chunk=min(cfg.desc_chunk, bk),
+                valid=pv,
+            )
     desc = desc[inv].reshape(b_sz, k, 128)
 
     # 6) outputs in process_size coordinates

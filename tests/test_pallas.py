@@ -99,3 +99,28 @@ def test_gmm_fit_pallas_backend(rng):
     )
     # EM may stop one iteration apart across backends; gate on closeness
     assert ll_p == pytest.approx(ll_x, abs=0.01)
+
+
+def test_sift_descriptor_window_kernel_matches_xla():
+    """The fused descriptor window kernel (ops/pallas/sift_window.py)
+    must reproduce the XLA descriptor pass bit-for-bit through the full
+    extractor core (same detection, same rounding-to-int semantics)."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.ops import sift as S
+
+    rng_np = np.random.default_rng(7)
+    img = (rng_np.random((180, 140)) * 255).astype(np.uint8)
+    base = jnp.asarray(S._letterbox(img, 128))[None]
+    kw = dict(process_size=128, max_keypoints=192, ori_chunk=64,
+              desc_chunk=32, pallas_chunk=64)
+    out_x = S._sift_core(base, S.SiftConfig(patch_backend="xla", **kw))
+    out_p = S._sift_core(base, S.SiftConfig(patch_backend="pallas", **kw))
+    assert np.array_equal(np.asarray(out_x["mask"]), np.asarray(out_p["mask"]))
+    dx = np.asarray(out_x["desc"][0])
+    dp = np.asarray(out_p["desc"][0])
+    v = np.asarray(out_x["mask"][0]) > 0
+    assert v.sum() > 20
+    np.testing.assert_allclose(dp[v], dx[v], atol=1.0)
+    # descriptors are integer-valued (OpenCV saturate-cast semantics)
+    assert float(np.abs(dp[v] - np.round(dp[v])).max()) == 0.0
