@@ -255,3 +255,178 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
         interpret=interpret,
     )(ints, flts.T, atlas_flat)
     return out.reshape(n_pad, 128)[:n]
+
+
+def _roll36(h, s):
+    """Static circular roll of a (36, 1) histogram by s (concat+slice —
+    dynamic_rotate is unneeded for static shifts and sublane rolls of
+    non-32-bit data don't lower)."""
+    sm = s % 36  # normalize negative shifts
+    h2 = jnp.concatenate([h, h], axis=0)
+    return h2[36 - sm:72 - sm]
+
+
+def _pick36(h, idx):
+    """h[(idx) % 36] for a traced scalar idx, as a one-hot reduction
+    (dynamic scalar gathers don't lower in Pallas TPU)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (36, 1), 0)
+    return jnp.sum(jnp.where(k == ((idx % 36) + 36) % 36, h, 0.0))
+
+
+def _candidate_orientation(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
+                           s0, cres, *, radius: int, nh8: int, lw: int):
+    """OpenCV dominant-orientation math over one (nh8, lw) mag/ang
+    window; mirrors ops/sift.py::_orientation. Returns (theta, theta2,
+    has_second) scalars."""
+    f32 = jnp.float32
+    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
+    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
+    row_c = (8 * i0g + (qg % 8)).astype(f32)
+    col_c = (qg // 8).astype(f32)
+    R = float(radius)
+    ii = row_c - (s0 + R)
+    jj = col_c - (R + cres)
+
+    radius_f = jnp.round(4.5 * scl)  # SIFT_ORI_RADIUS = 3 * 1.5
+    sigma_w = 1.5 * scl
+    exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
+    rr = r + ii
+    cc = c + jj
+    inb = (
+        (ii >= -R) & (ii <= R) & (jj >= -R) & (jj <= R)
+        & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
+    )
+    in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
+    wm = jnp.exp((ii * ii + jj * jj) * exp_scale) \
+        * (inb & in_radius).astype(f32) * mag_w
+
+    n_bins = 36
+    fbin = ang * (n_bins / (2.0 * np.pi))
+    bin_idx = jnp.round(fbin).astype(jnp.int32) % n_bins  # OpenCV cvRound
+    k36 = jax.lax.broadcasted_iota(jnp.int32, (n_bins, 1), 0)
+    hist = jnp.zeros((n_bins, 1), f32)
+    for i0 in range(nh8):
+        oh = (bin_idx[i0:i0 + 1, :] == k36).astype(f32)  # (36, lw)
+        hist = hist + jnp.sum(oh * wm[i0:i0 + 1, :], axis=1, keepdims=True)
+
+    # circular smoothing [1,4,6,4,1]/16
+    hist = (
+        (_roll36(hist, 2) + _roll36(hist, -2)) * (1.0 / 16.0)
+        + (_roll36(hist, 1) + _roll36(hist, -1)) * (4.0 / 16.0)
+        + hist * (6.0 / 16.0)
+    )
+
+    def peak_theta(peak):
+        l_ = _pick36(hist, peak - 1)
+        c_ = _pick36(hist, peak)
+        r_ = _pick36(hist, peak + 1)
+        denom = l_ - 2.0 * c_ + r_
+        interp = jnp.where(jnp.abs(denom) > 1e-12,
+                           0.5 * (l_ - r_) / denom, 0.0)
+        return (peak.astype(f32) + interp) * (2.0 * np.pi / n_bins)
+
+    peak = jnp.argmax(hist).astype(jnp.int32)  # (36,1): flat idx == row
+    theta = peak_theta(peak)
+
+    left = _roll36(hist, 1)
+    right = _roll36(hist, -1)
+    omax = _pick36(hist, peak)
+    is_peak = (hist > left) & (hist >= right) & (hist >= 0.8 * omax)
+    is_peak = is_peak & (k36 != peak)
+    second = jnp.argmax(jnp.where(is_peak, hist,
+                                  -jnp.inf)).astype(jnp.int32)
+    has_second = jnp.any(is_peak)
+    theta2 = jnp.where(has_second, peak_theta(second), 0.0)
+    return theta, theta2, has_second
+
+
+def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
+                radius: int, nh8: int, lw: int):
+    """Same scaffold as _desc_kernel; out (_G, 1, 8) f32 blocks of
+    [theta, theta2, has_second, 0...] rows."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    f32 = jnp.float32
+
+    def mk(slot, g, k):
+        j = g * _G + k
+        return pltpu.make_async_copy(
+            atlas_ref.at[
+                pl.ds(iref[0, j], nh8), :,
+                pl.ds(pl.multiple_of(iref[5, j], 128), lw)],
+            sb.at[slot, k],
+            sems.at[slot, k],
+        )
+
+    def start(slot, g):
+        for k in range(_G):
+            @pl.when(iref[2, g * _G + k] > 0)
+            def _():
+                mk(slot, g, k).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    for k in range(_G):
+        j = i * _G + k
+        active = iref[2, j] > 0
+
+        @pl.when(jnp.logical_not(active))
+        def _():
+            out_ref[k] = jnp.zeros((1, 8), f32)
+
+        @pl.when(active)
+        def _():
+            mk(i % 2, i, k).wait()
+            mag_w = sb[i % 2, k, :, 0, :].astype(f32)
+            ang = sb[i % 2, k, :, 1, :].astype(f32)
+            theta, theta2, hs = _candidate_orientation(
+                mag_w, ang,
+                fref[0, j], fref[1, j], fref[2, j], fref[3, j],
+                fref[4, j], fref[5, j],
+                iref[3, j].astype(f32), iref[4, j].astype(f32),
+                radius=radius, nh8=nh8, lw=lw)
+            row = jnp.concatenate(
+                [theta.reshape(1, 1), theta2.reshape(1, 1),
+                 hs.astype(f32).reshape(1, 1)], axis=1)
+            out_ref[k] = jnp.pad(row, ((0, 0), (0, 5)))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("radius", "interpret"))
+def orientation_window_pass(atlas_flat, ints, flts, *, radius: int,
+                            interpret: bool = False):
+    """Run the fused orientation kernel over a candidate chunk.
+    Same operands as descriptor_window_pass; returns (theta, theta2,
+    has_second) arrays of shape (n,)."""
+    n = ints.shape[1]
+    n_pad = -(-n // _G) * _G
+    if n_pad != n:
+        ints = jnp.pad(ints, ((0, 0), (0, n_pad - n)))
+        flts = jnp.pad(flts, ((0, n_pad - n), (0, 0)))
+    _, nh8, lw = _window_geom(radius)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_pad // _G,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((_G, 1, 8), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
+            pltpu.SemaphoreType.DMA((2, _G)),
+        ],
+    )
+    kern = functools.partial(_ori_kernel, radius=radius, nh8=nh8, lw=lw)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1, 8), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ints, flts.T, atlas_flat)
+    out = out[:n, 0, :]
+    return out[:, 0], out[:, 1], out[:, 2] > 0.5

@@ -1057,6 +1057,36 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     atlas = jax.vmap(lambda *gs: _grad_atlas(gs, cfg))(*gauss)
     b_sz = cand["valid"].shape[0]
 
+    use_pallas = cfg.patch_backend == "pallas" or (
+        cfg.patch_backend == "auto" and jax.default_backend() != "cpu"
+    )
+    interp = jax.default_backend() == "cpu"
+    h8t = atlas.shape[2]
+    atlas_flat = atlas.reshape(-1, 2, atlas.shape[-1])
+
+    def pallas_operands(fq, pv, radius, f_row_off, f_hh, f_ww):
+        """(ints, flts) operand arrays for the fused window kernels
+        (ops/pallas/sift_window.py): flat-atlas window start rows,
+        alignment residuals, and the per-candidate float scalars."""
+        n_l = cfg.n_octave_layers
+        gr = fq["r"] + pad + f_row_off
+        rs = gr - radius
+        ws = fq["c"] - radius + pad
+        ws16 = (ws // 16) * 16
+        row0 = (fq["img"] * n_l + (fq["layer"] - 1)) * h8t + rs // 8
+        zi = jnp.zeros_like(ws)
+        ints = jnp.stack(
+            [row0, zi, pv.astype(jnp.int32), rs % 8,
+             ws - ws16, ws16 * 8, zi, zi], axis=1)
+        flts = jnp.stack(
+            [fq["scl_oct"], fq["theta"] if "theta" in fq
+             else jnp.zeros_like(fq["scl_oct"]),
+             fq["r"].astype(jnp.float32), fq["c"].astype(jnp.float32),
+             f_hh.astype(jnp.float32), f_ww.astype(jnp.float32),
+             jnp.zeros_like(fq["scl_oct"]),
+             jnp.zeros_like(fq["scl_oct"])], axis=1)
+        return ints, flts
+
     ocls = radius_class(cand["scl_oct"], 4.5, cfg.ori_radius_classes)
     fq, ocls_s, inv = flat_sorted_queue(cand, ocls)
     f_row_off = offsets[fq["octave"]]
@@ -1068,18 +1098,32 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     has_second = jnp.zeros((bk,), bool)
     for ci, radius in enumerate(cfg.ori_radius_classes):
         pv = fq["valid"] & (ocls_s == ci)
-        t, t2, hs = _chunked_vmap(
-            lambda im, l, rr, cc, s, v, ro, h_, w_: _orientation(
-                atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
-                radius=radius, img=im,
-            ),
-            (
-                fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
-                pv, f_row_off, f_hh, f_ww,
-            ),
-            chunk=min(cfg.ori_chunk, bk),
-            valid=pv,
-        )
+        if use_pallas:
+            from .pallas.sift_window import orientation_window_pass
+
+            ints, flts = pallas_operands(fq, pv, radius, f_row_off,
+                                         f_hh, f_ww)
+            t, t2, hs = _chunked_vmap(
+                lambda i8, f8, radius=radius: orientation_window_pass(
+                    atlas_flat, i8.T, f8, radius=radius, interpret=interp),
+                (ints, flts),
+                chunk=min(cfg.pallas_chunk, bk),
+                valid=pv,
+                batched=True,
+            )
+        else:
+            t, t2, hs = _chunked_vmap(
+                lambda im, l, rr, cc, s, v, ro, h_, w_: _orientation(
+                    atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
+                    radius=radius, img=im,
+                ),
+                (
+                    fq["img"], fq["layer"], fq["r"], fq["c"], fq["scl_oct"],
+                    pv, f_row_off, f_hh, f_ww,
+                ),
+                chunk=min(cfg.ori_chunk, bk),
+                valid=pv,
+            )
         theta, theta2 = theta + t, theta2 + t2
         has_second = has_second | hs
     theta = theta[inv].reshape(b_sz, k)
@@ -1116,34 +1160,14 @@ def _sift_core(base_batch: jnp.ndarray, cfg: SiftConfig):
     f_row_off = offsets[fq["octave"]]
     f_hh = heights[fq["octave"]]
     f_ww = widths[fq["octave"]]
-    use_pallas = cfg.patch_backend == "pallas" or (
-        cfg.patch_backend == "auto" and jax.default_backend() != "cpu"
-    )
-    interp = jax.default_backend() == "cpu"
     desc = jnp.zeros((bk, 128), jnp.float32)
     for ci, radius in enumerate(cfg.desc_radius_classes):
         pv = fq["valid"] & (dcls_s == ci)
         if use_pallas:
             from .pallas.sift_window import descriptor_window_pass
 
-            h8t = atlas.shape[2]
-            atlas_flat = atlas.reshape(-1, 2, atlas.shape[-1])
-            n_l = cfg.n_octave_layers
-            gr = fq["r"] + pad + f_row_off
-            rs = gr - radius
-            ws = fq["c"] - radius + pad
-            ws16 = (ws // 16) * 16
-            row0 = (fq["img"] * n_l + (fq["layer"] - 1)) * h8t + rs // 8
-            zi = jnp.zeros_like(ws)
-            ints = jnp.stack(
-                [row0, zi, pv.astype(jnp.int32), rs % 8,
-                 ws - ws16, ws16 * 8, zi, zi], axis=1)
-            flts = jnp.stack(
-                [fq["scl_oct"], fq["theta"],
-                 fq["r"].astype(jnp.float32), fq["c"].astype(jnp.float32),
-                 f_hh.astype(jnp.float32), f_ww.astype(jnp.float32),
-                 jnp.zeros_like(fq["scl_oct"]),
-                 jnp.zeros_like(fq["scl_oct"])], axis=1)
+            ints, flts = pallas_operands(fq, pv, radius, f_row_off,
+                                         f_hh, f_ww)
             desc = desc + _chunked_vmap(
                 lambda i8, f8, radius=radius: descriptor_window_pass(
                     atlas_flat, i8.T, f8, radius=radius, interpret=interp),

@@ -102,9 +102,10 @@ def test_gmm_fit_pallas_backend(rng):
 
 
 def test_sift_descriptor_window_kernel_matches_xla():
-    """The fused descriptor window kernel (ops/pallas/sift_window.py)
-    must reproduce the XLA descriptor pass bit-for-bit through the full
-    extractor core (same detection, same rounding-to-int semantics)."""
+    """The fused descriptor + orientation window kernels
+    (ops/pallas/sift_window.py) must reproduce the XLA passes through
+    the full extractor core (same detection, same orientations up to
+    f32 reduction order, same rounding-to-int descriptor semantics)."""
     import jax.numpy as jnp
 
     from pyvisim_tpu.ops import sift as S
@@ -117,6 +118,10 @@ def test_sift_descriptor_window_kernel_matches_xla():
     out_x = S._sift_core(base, S.SiftConfig(patch_backend="xla", **kw))
     out_p = S._sift_core(base, S.SiftConfig(patch_backend="pallas", **kw))
     assert np.array_equal(np.asarray(out_x["mask"]), np.asarray(out_p["mask"]))
+    tv = np.asarray(out_x["mask"][0]) > 0
+    np.testing.assert_allclose(
+        np.asarray(out_p["theta"][0])[tv], np.asarray(out_x["theta"][0])[tv],
+        atol=1e-5)
     dx = np.asarray(out_x["desc"][0])
     dp = np.asarray(out_p["desc"][0])
     v = np.asarray(out_x["mask"][0]) > 0
