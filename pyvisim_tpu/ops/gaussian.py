@@ -48,11 +48,15 @@ def _blur_hw(img: jnp.ndarray, sigma: float, kernel_size: int) -> jnp.ndarray:
     (OpenCV's default border mode).
 
     TPU-first formulation: each 1-D correlation is a banded-matrix matmul
-    on the MXU at ``precision="highest"``. A single-channel
+    on the MXU at ``precision="high"`` (3-pass bf16: ~1e-4 absolute
+    error at 0..255 image scale, far inside the DoG detection
+    thresholds; the 6-pass "highest" costs 2x MXU time and measured
+    ~0.45 ms/img of the SIFT pipeline for no parity gain — on-chip
+    OpenCV descriptor cosine is 0.9992 either way, docs/PERF.md round
+    3e). Single-pass default precision IS too coarse here (~0.4/255
+    error reshuffles weak extrema). A single-channel
     ``conv_general_dilated`` runs ~9x slower on v5e (K=1 starves the
-    MXU) and its default-precision accumulation is bf16-degraded
-    (~0.4/255 error vs float64; the matmul path is exact to ~2e-5).
-    The ~80x FLOP padding of the band is far cheaper than the
+    MXU). The ~80x FLOP padding of the band is far cheaper than the
     VPU-bound conv at every size the pyramid uses.
     """
     k = jnp.asarray(gaussian_kernel1d(sigma, kernel_size))
@@ -62,9 +66,9 @@ def _blur_hw(img: jnp.ndarray, sigma: float, kernel_size: int) -> jnp.ndarray:
     bh = _band_matrix(k, kernel_size, h)
     bw = _band_matrix(k, kernel_size, w)
     xp = jnp.pad(img, ((0, 0), (r, r), (0, 0)), mode="reflect")
-    y = jnp.einsum("ph,bpw->bhw", bh, xp, precision="highest")
+    y = jnp.einsum("ph,bpw->bhw", bh, xp, precision="high")
     yp = jnp.pad(y, ((0, 0), (0, 0), (r, r)), mode="reflect")
-    return jnp.einsum("bhp,pw->bhw", yp, bw, precision="highest")
+    return jnp.einsum("bhp,pw->bhw", yp, bw, precision="high")
 
 
 def gaussian_blur_batch(

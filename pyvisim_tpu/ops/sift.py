@@ -223,54 +223,65 @@ def _extrema_mask(dog: jnp.ndarray, prelim_thresh: float) -> jnp.ndarray:
 
 
 def _fold_dog(dog, cfg: SiftConfig):
-    """Row-fold one image's padded DoG to (L+2, H8, W*8) for the
-    refinement patch gather: element [l, h8, w*8 + s] = padded
+    """Row-fold one image's padded DoG to (H8, L+2, W*8) for the
+    refinement patch gather: element [h8, l, w*8 + s] = padded
     dog[l, 8*h8 + s, w] (zero pad of reach+1 on each side; rows padded up
     to a multiple of 8 plus one spare chunk so bottom-row patches stay in
     bounds).
 
-    Layer-MAJOR fold: only the minor two dims swap (8, W) -> (W, 8), the
-    same cheap relayout the orientation/descriptor atlas uses. A
-    layer-minor fold [w*8*L + s*L + l] was measured 4x SLOWER overall:
-    its build transposes through a 5-element minor dim (~4% lane
-    utilization), costing far more than the 5x segment saving returns.
+    The minor two dims swap (8, W) -> (W, 8) cheaply (the same relayout
+    the orientation/descriptor atlas uses; a LANE-minor layer fold was
+    measured 4x slower — its build transposes through a 5-element minor
+    dim). The h8 axis leads so the batched fold flattens to
+    (B*H8, L+2, W*8) rows for the Pallas refine kernel: candidate row
+    starts land on an untiled dim, the full L+2 layer axis satisfies the
+    equal-dim rule, and ONE DMA covers a candidate's whole scale cube.
     """
     reach = cfg.refine_reach
     n_total = dog.shape[0]
     h = dog.shape[1]
     rows_pad = -(-(h + 2 * (reach + 1)) // 8) * 8 + 8
-    dogp = jnp.pad(dog, ((0, 0), (reach + 1, rows_pad - h - reach - 1),
-                         (reach + 1, reach + 1)))
+    # layer pad to a multiple of 8: the layer axis sits second-minor in
+    # the fold, and Mosaic folds a sub-tile dim into the f32 (8, 128)
+    # sublane packing, making full-dim DMA slices unexpressible (the
+    # same pitfall as the atlas's dummy dim; zero layers are inert —
+    # the cube-select one-hots never address them).
+    # right col pad 28: the Pallas gather reads 16-col-aligned 32-col
+    # windows, which reach up to 31 cols past a right-edge candidate.
+    lpad = (-n_total) % 8
+    dogp = jnp.pad(dog, ((0, lpad), (reach + 1, rows_pad - h - reach - 1),
+                         (reach + 1, reach + 1 + 24)))
+    n_total = n_total + lpad
     wp = dogp.shape[2]
     dogp = dogp.astype(jnp.dtype(cfg.refine_dtype))
     folded = dogp.reshape(n_total, rows_pad // 8, 8, wp)
-    folded = jnp.transpose(folded, (0, 1, 3, 2))
-    return folded.reshape(n_total, rows_pad // 8, wp * 8)
+    folded = jnp.transpose(folded, (1, 0, 3, 2))
+    return folded.reshape(rows_pad // 8, n_total, wp * 8)
 
 
 def _gather_refine_patches(folded, img, cand_r, cand_c, cfg: SiftConfig):
-    """(N, L+2, 2, side, 8) row-folded local DoG patches around integer
-    candidates of a BATCHED folded DoG (B, L+2, H8, W*8), plus the
+    """(N, 2, L+2, side, 8) row-folded local DoG patches around integer
+    candidates of a BATCHED folded DoG (B, H8, L+2, W*8), plus the
     per-candidate row residual s0.
 
     The patch gather is segment-latency-bound (thousands of vmapped
     dynamic slices paying per contiguous run); on the folded layout an
-    arbitrary-row patch is a (L+2, 2, side*8) slice — 2 contiguous runs
+    arbitrary-row patch is a (2, L+2, side*8) slice — 2 contiguous runs
     per layer instead of one short (col, layer) run per patch ROW. The
-    old patch row ``i`` lives at ``[.., q0, .., s]`` via
+    old patch row ``i`` lives at ``[q0, .., .., s]`` via
     ``i = 8*q0 + s - s0`` with ``s0 = r % 8``; the refinement's one-hot
     cube selects absorb s0 for free (``_refine_candidates``).
-    ``patch[n, l, q0, j, s] = dog[img_n, l, 8*(r_n//8 + q0) + s - reach
+    ``patch[n, q0, l, j, s] = dog[img_n, l, 8*(r_n//8 + q0) + s - reach
     - 1, c_n - reach - 1 + j]`` (relative to the reach+1 zero pad).
     """
     reach = cfg.refine_reach
     side = 2 * reach + 3
-    n_total = folded.shape[1]
+    n_total = folded.shape[2]
 
     def patch_one(im, r, c):
         blk = jax.lax.dynamic_slice(
-            folded, (im, 0, r // 8, c * 8), (1, n_total, 2, side * 8))
-        return blk.reshape(n_total, 2, side, 8)
+            folded, (im, r // 8, 0, c * 8), (1, 2, n_total, side * 8))
+        return blk.reshape(2, n_total, side, 8)
 
     return jax.vmap(patch_one)(img, cand_r, cand_c), cand_r % 8
 
@@ -301,13 +312,43 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
     second_deriv_scale = img_scale
     cross_deriv_scale = img_scale * 0.25
     n_layers = cfg.n_octave_layers
-    n_total = folded.shape[1]  # L+2
+    n_total = folded.shape[2]  # L+2
     reach = cfg.refine_reach  # max pixels moved
     side = 2 * reach + 3  # patch side: interior +-reach, stencil halo +-1
     isz = side - 2  # stencil-evaluable interior side
 
-    # 1) one local patch per candidate (see _gather_refine_patches)
-    patches, s0 = _gather_refine_patches(folded, img, cand_r, cand_c, cfg)
+    # 1) one local window per candidate. The Pallas backend gathers
+    # 16-col-aligned 32-col windows with ONE DMA per candidate (8
+    # in-flight per grid step; ops/pallas/sift_window.refine_gather_pass)
+    # — the cube-select one-hots absorb the col residual ``jres`` exactly
+    # like the row residual ``s0``; the math itself stays on the XLA
+    # path, whose chunk-batched einsums keep the MXU utilization a
+    # per-candidate in-kernel port would lose.
+    use_pallas = cfg.patch_backend == "pallas" or (
+        cfg.patch_backend == "auto" and jax.default_backend() != "cpu"
+    )
+    if use_pallas:
+        from .pallas.sift_window import refine_gather_pass
+
+        h8t = folded.shape[1]
+        dog_flat = folded.reshape(-1, n_total, folded.shape[-1])
+        col16 = (cand_c * 8) // 128 * 16
+        jres = cand_c - col16
+        s0 = cand_r % 8
+        zi = jnp.zeros_like(cand_r)
+        ints = jnp.stack(
+            [img * h8t + cand_r // 8, zi, cand_valid.astype(jnp.int32),
+             zi, zi, col16 * 8, zi, zi], axis=0)
+        blk = refine_gather_pass(
+            dog_flat, ints, n_layers=n_total,
+            interpret=jax.default_backend() == "cpu")
+        patches = blk.reshape(blk.shape[0], 2, n_total, 32, 8)
+        wcols = 32
+    else:
+        patches, s0 = _gather_refine_patches(
+            folded, img, cand_r, cand_c, cfg)
+        jres = jnp.zeros_like(cand_c)
+        wcols = side
 
     # 2) per-iteration 3x3x3 cube select via rank-1 one-hot contractions.
     # An earlier cut precomputed all 10 derivative stencils densely over
@@ -334,14 +375,15 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
         q16 = s0[:, None] + dr[:, None] + tri  # (N, 3) folded row ids
         rq = jax.nn.one_hot(q16 // 8, 2, dtype=patches.dtype)
         rs8 = jax.nn.one_hot(q16 % 8, 8, dtype=patches.dtype)
-        ch = jax.nn.one_hot(dc[:, None] + tri, side, dtype=patches.dtype)
+        ch = jax.nn.one_hot(jres[:, None] + dc[:, None] + tri, wcols,
+                            dtype=patches.dtype)
         lh = jax.nn.one_hot(layer[:, None] - 1 + tri, n_total)  # (N, 3, L+2)
         t1 = jnp.einsum(
-            "nas,nlqjs->nalqj", rs8, patches,
+            "nas,nqljs->naqlj", rs8, patches,
             preferred_element_type=jnp.float32,
         )
         tmp = jnp.einsum(
-            "naq,nalqj->nalj", rq, t1, preferred_element_type=jnp.float32
+            "naq,naqlj->nalj", rq, t1, preferred_element_type=jnp.float32
         )  # (N, 3, L+2, side): rows dr..dr+2 selected
         blk = jnp.einsum(
             "nalj,nbj->nabl", tmp, ch, preferred_element_type=jnp.float32
