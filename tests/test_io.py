@@ -97,16 +97,25 @@ def test_prefetch_overlaps_producer(rng):
 
     from pyvisim_tpu.io import PrefetchIterator
 
-    def slow_source():
-        for i in range(4):
-            time.sleep(0.05)
-            yield i
+    # wall-clock sensitive on this 1-CPU image: under a loaded full-suite
+    # run the producer thread can be starved past any fixed deadline, so
+    # retry the whole scenario a few times before declaring failure
+    for attempt in range(3):
+        def slow_source():
+            for i in range(4):
+                time.sleep(0.05)
+                yield i
 
-    it = PrefetchIterator(slow_source(), depth=4, to_device=False)
-    time.sleep(0.25)  # producer should have finished everything by now
-    t0 = time.perf_counter()
-    assert list(it) == [0, 1, 2, 3]
-    assert time.perf_counter() - t0 < 0.05  # consumed from the queue, no waiting
+        it = PrefetchIterator(slow_source(), depth=4, to_device=False)
+        time.sleep(0.25)  # producer should have finished everything by now
+        t0 = time.perf_counter()
+        items = list(it)
+        waited = time.perf_counter() - t0
+        assert items == [0, 1, 2, 3]
+        if waited < 0.05:  # consumed from the queue, no waiting
+            return
+    raise AssertionError(
+        f"prefetch never overlapped the producer (last drain {waited:.3f}s)")
 
 
 def test_prefetch_close_joins_blocked_producer():
