@@ -17,6 +17,7 @@ quality parity is gated *cross-stack*:
    examples/m_ap_and_top_k_accuracy.ipynb cell 14, whose numbers these
    gates stand in for).
 """
+import jax
 import numpy as np
 import pytest
 
@@ -239,15 +240,23 @@ def test_deep_stack_cross_framework_retrieval(tmp_path):
     )
 
     t_emap = t_enc.generate_encoding_map(gallery_paths)
-    f_emap = f_enc.generate_encoding_map(gallery_paths)
     t_top1 = top_k_accuracy(
         queries, query_labels, t_emap, gallery_labels, t_enc, k=1
     )
-    f_top1 = top_k_accuracy(
-        queries, query_labels, f_emap, gallery_labels, f_enc, k=1
-    )
     t_map = top_k_map(queries, query_labels, t_emap, gallery_labels, t_enc, k=5)
-    f_map = top_k_map(queries, query_labels, f_emap, gallery_labels, f_enc, k=5)
+    # This is a STACK-parity gate against torch's f32 CPU convs: pin full
+    # f32 conv arithmetic so the comparison isolates framework
+    # differences. On TPU, f32 convs otherwise default to single-pass
+    # bf16 MXU arithmetic, which alone moves mAP on this 130-image set by
+    # ~0.03 (measured on chip; the intended-precision production path is
+    # gated separately by the int8/bf16 fidelity tests).
+    with jax.default_matmul_precision("highest"):
+        f_emap = f_enc.generate_encoding_map(gallery_paths)
+        f_top1 = top_k_accuracy(
+            queries, query_labels, f_emap, gallery_labels, f_enc, k=1
+        )
+        f_map = top_k_map(
+            queries, query_labels, f_emap, gallery_labels, f_enc, k=5)
     # the stacks must agree with each other …
     assert abs(f_top1 - t_top1) <= 0.02, f"flax {f_top1} vs torch {t_top1}"
     assert abs(f_map - t_map) <= 0.02, f"flax {f_map} vs torch {t_map}"
