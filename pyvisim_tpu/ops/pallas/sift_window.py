@@ -1,4 +1,4 @@
-"""Fused SIFT descriptor window kernel (gather + histogram in one pass).
+"""Fused SIFT window kernels: descriptor, orientation, refinement gather.
 
 Parity anchor: OpenCV ``calcSIFTDescriptor`` semantics as implemented by
 the XLA path in ``ops/sift.py::_descriptor`` (reference delegation point:
@@ -41,7 +41,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["descriptor_window_pass"]
+__all__ = [
+    "descriptor_window_pass",
+    "orientation_window_pass",
+    "refine_gather_pass",
+]
 
 _D = 4  # spatial histogram grid
 _N = 8  # orientation bins
