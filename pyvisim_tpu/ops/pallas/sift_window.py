@@ -437,9 +437,9 @@ def orientation_window_pass(atlas_flat, ints, flts, *, radius: int,
 
 
 def _refine_gather_kernel(iref, atlas_ref, out_ref, sems, *,
-                          n_layers: int, lw: int):
+                          n_layers: int, lw: int, nq: int):
     """Pure-DMA gather of refinement scale-cube windows: _G candidates
-    per grid step, each ONE (2, L+2, lw) copy straight into the output
+    per grid step, each ONE (nq, L+2, lw) copy straight into the output
     block (the 8 in-flight copies of a group hide each other's latency;
     the refinement MATH stays on the XLA path, whose chunk-batched
     einsums beat a per-candidate in-kernel port on the MXU).
@@ -457,7 +457,7 @@ def _refine_gather_kernel(iref, atlas_ref, out_ref, sems, *,
         def _():
             pltpu.make_async_copy(
                 atlas_ref.at[
-                    pl.ds(iref[0, j], 2), :,
+                    pl.ds(iref[0, j], nq), :,
                     pl.ds(pl.multiple_of(iref[5, j], 128), lw)],
                 out_ref.at[k],
                 sems.at[k],
@@ -471,7 +471,7 @@ def _refine_gather_kernel(iref, atlas_ref, out_ref, sems, *,
         def _():
             pltpu.make_async_copy(
                 atlas_ref.at[
-                    pl.ds(iref[0, j], 2), :,
+                    pl.ds(iref[0, j], nq), :,
                     pl.ds(pl.multiple_of(iref[5, j], 128), lw)],
                 out_ref.at[k],
                 sems.at[k],
@@ -479,33 +479,36 @@ def _refine_gather_kernel(iref, atlas_ref, out_ref, sems, *,
 
         @pl.when(jnp.logical_not(active))
         def _():
-            out_ref[k] = jnp.zeros((2, n_layers, lw), out_ref.dtype)
+            out_ref[k] = jnp.zeros((nq, n_layers, lw), out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_layers", "interpret"))
-def refine_gather_pass(dog_flat, ints, *, n_layers: int,
-                       interpret: bool = False):
-    """Gather (n, 2, L+2, 256) refinement windows from the flat folded
-    DoG (rows, L+2, W*8). ints as in _refine_gather_kernel."""
+@functools.partial(
+    jax.jit, static_argnames=("n_layers", "side", "nq", "interpret"))
+def refine_gather_pass(dog_flat, ints, *, n_layers: int, side: int,
+                       nq: int = 2, interpret: bool = False):
+    """Gather (n, nq, L+2, lw) refinement windows from the flat folded
+    DoG (rows, L+2, W*8), lw = (side+16)*8 rounded up to a full 128-lane
+    tile (16-col alignment slack; 256 at the default refine_reach=3).
+    ints as in _refine_gather_kernel."""
     n = ints.shape[1]
     n_pad = -(-n // _G) * _G
     if n_pad != n:
         ints = jnp.pad(ints, ((0, 0), (0, n_pad - n)))
-    lw = 256
+    lw = -(-(side + 16) * 8 // 128) * 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_pad // _G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (_G, 2, n_layers, lw), lambda i, *_: (i, 0, 0, 0),
+            (_G, nq, n_layers, lw), lambda i, *_: (i, 0, 0, 0),
             memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((_G,))],
     )
     kern = functools.partial(_refine_gather_kernel, n_layers=n_layers,
-                             lw=lw)
+                             lw=lw, nq=nq)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 2, n_layers, lw),
+        out_shape=jax.ShapeDtypeStruct((n_pad, nq, n_layers, lw),
                                        dog_flat.dtype),
         grid_spec=grid_spec,
         interpret=interpret,

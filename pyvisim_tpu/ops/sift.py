@@ -260,13 +260,14 @@ def _fold_dog(dog, cfg: SiftConfig):
 
 
 def _gather_refine_patches(folded, img, cand_r, cand_c, cfg: SiftConfig):
-    """(N, 2, L+2, side, 8) row-folded local DoG patches around integer
+    """(N, nq, L+2, side, 8) row-folded local DoG patches (nq =
+    (side+14)//8 h8-chunks cover side rows at any residual) around integer
     candidates of a BATCHED folded DoG (B, H8, L+2, W*8), plus the
     per-candidate row residual s0.
 
     The patch gather is segment-latency-bound (thousands of vmapped
     dynamic slices paying per contiguous run); on the folded layout an
-    arbitrary-row patch is a (2, L+2, side*8) slice — 2 contiguous runs
+    arbitrary-row patch is a (nq, L+2, side*8) slice — nq contiguous runs
     per layer instead of one short (col, layer) run per patch ROW. The
     old patch row ``i`` lives at ``[q0, .., .., s]`` via
     ``i = 8*q0 + s - s0`` with ``s0 = r % 8``; the refinement's one-hot
@@ -276,12 +277,13 @@ def _gather_refine_patches(folded, img, cand_r, cand_c, cfg: SiftConfig):
     """
     reach = cfg.refine_reach
     side = 2 * reach + 3
+    nq = (side + 14) // 8  # h8-chunks covering side rows at any residual
     n_total = folded.shape[2]
 
     def patch_one(im, r, c):
         blk = jax.lax.dynamic_slice(
-            folded, (im, r // 8, 0, c * 8), (1, 2, n_total, side * 8))
-        return blk.reshape(2, n_total, side, 8)
+            folded, (im, r // 8, 0, c * 8), (1, nq, n_total, side * 8))
+        return blk.reshape(nq, n_total, side, 8)
 
     return jax.vmap(patch_one)(img, cand_r, cand_c), cand_r % 8
 
@@ -339,11 +341,12 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
         ints = jnp.stack(
             [img * h8t + cand_r // 8, zi, cand_valid.astype(jnp.int32),
              zi, zi, col16 * 8, zi, zi], axis=0)
+        nq = (side + 14) // 8
         blk = refine_gather_pass(
-            dog_flat, ints, n_layers=n_total,
+            dog_flat, ints, n_layers=n_total, side=side, nq=nq,
             interpret=jax.default_backend() == "cpu")
-        patches = blk.reshape(blk.shape[0], 2, n_total, 32, 8)
-        wcols = 32
+        wcols = blk.shape[-1] // 8
+        patches = blk.reshape(blk.shape[0], nq, n_total, wcols, 8)
     else:
         patches, s0 = _gather_refine_patches(
             folded, img, cand_r, cand_c, cfg)
@@ -373,7 +376,7 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
         select factors into a chunk one-hot x subrow one-hot — the joint
         one-hot over 16 folded rows is exactly their outer product."""
         q16 = s0[:, None] + dr[:, None] + tri  # (N, 3) folded row ids
-        rq = jax.nn.one_hot(q16 // 8, 2, dtype=patches.dtype)
+        rq = jax.nn.one_hot(q16 // 8, patches.shape[1], dtype=patches.dtype)
         rs8 = jax.nn.one_hot(q16 % 8, 8, dtype=patches.dtype)
         ch = jax.nn.one_hot(jres[:, None] + dc[:, None] + tri, wcols,
                             dtype=patches.dtype)
