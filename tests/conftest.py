@@ -26,6 +26,22 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    """Build the native C++ JPEG loader if this checkout hasn't yet
+    (tools/build_native.py output is a build artifact, not tracked in
+    git — a fresh clone would otherwise fail test_io's loader tests)."""
+    import pathlib
+    import subprocess
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    so = repo / "pyvisim_tpu" / "io" / "libpyvisim_io.so"
+    if not so.exists():
+        subprocess.run(
+            ["python", str(repo / "tools" / "build_native.py")],
+            check=False, capture_output=True, timeout=300,
+        )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
