@@ -497,7 +497,14 @@ class ImageEncoderBase(SimilarityMetric):
                 "No clustering model set. Pass weights=, clustering_model=, or "
                 "call learn() first."
             )
-        desc, mask = self.feature_extractor.extract_batch(images)
+        ext = self.feature_extractor
+        if hasattr(ext, "extract_batch_device") and self._mesh is None:
+            # device-resident handoff: descriptors feed the jitted encode
+            # core without the host round trip (SIFT-family extractors;
+            # see features.SIFT.extract_batch_device)
+            desc, mask = ext.extract_batch_device(images)
+        else:
+            desc, mask = ext.extract_batch(images)
         out = self._encode_descriptors(desc, mask)
         if not self._flatten and out.ndim == 3:
             out = out.reshape(-1, out.shape[-1])  # np.vstack of (K, D) blocks

@@ -65,12 +65,19 @@ class Pipeline(SimilarityMetric):
             images = [images]
         images = list(images) if not isinstance(images, np.ndarray) else images
 
-        # One extraction pass per distinct extractor instance.
+        # One extraction pass per distinct extractor instance. The
+        # device-resident variant (when offered and no member needs mesh
+        # re-placement) skips the descriptor host round trip exactly as
+        # ImageEncoderBase.encode does.
         features: dict[int, tuple] = {}
         for enc in self.encoders:
-            key = id(enc.feature_extractor)
+            ext = enc.feature_extractor
+            key = id(ext)
             if key not in features:
-                features[key] = enc.feature_extractor.extract_batch(images)
+                if hasattr(ext, "extract_batch_device") and enc._mesh is None:
+                    features[key] = ext.extract_batch_device(images)
+                else:
+                    features[key] = ext.extract_batch(images)
 
         all_encodings = []
         for enc in self.encoders:

@@ -178,6 +178,27 @@ class SIFT(FeatureExtractorBase):
             cfg=self._sift_cfg,
         )
 
+    def extract_batch_device(self, images):
+        """Device-resident variant of ``extract_batch``: descriptors stay
+        on the accelerator (f32, root-SIFT applied on device) so an
+        immediately-following on-device encode skips the descriptor
+        downlink and the f32 re-upload — the two transfers that dominate
+        the SIFT-family ``generate_encoding_map`` flow on relay-attached
+        chips (docs/PERF.md round 3f). Falls back to the host path for
+        the opencv backend and mesh extraction (the mesh path
+        materializes host-side by design — ADVICE r2)."""
+        if self.backend != "tpu" or self.mesh is not None:
+            return self.extract_batch(images)
+        from ..ops import sift as sift_ops
+
+        if isinstance(images, np.ndarray) and images.ndim == 3:
+            images = [images]
+        grays = [_to_gray_u8(np.asarray(img)) for img in images]
+        return sift_ops.sift_batch(
+            grays, max_keypoints=self.max_keypoints, root_sift=self._root,
+            cfg=self._sift_cfg, device=True,
+        )
+
     def __repr__(self):
         return f"{type(self).__name__}(output_dim={self.output_dim}, backend={self.backend!r})"
 

@@ -1328,6 +1328,7 @@ def sift_descriptors(
     cfg: SiftConfig | None = None,
     root_sift: bool = False,
     keys: tuple[str, ...] | None = None,
+    device: bool = False,
 ):
     """Full result dict for a batch of grayscale images (uint8/float 0..255
     HxW, any sizes — letterboxed host-side): desc (B, N, 128), mask (B, N),
@@ -1384,6 +1385,20 @@ def sift_descriptors(
 
     if b <= device_batch:
         return run_chunk(letterbox_chunk(0))
+    if device:
+        # Device-resident multi-chunk (see sift_batch(device=True)):
+        # dispatch every chunk behind the in-order queue and concatenate
+        # ON DEVICE — no host materialization at all. Residency is
+        # bounded by the caller's batch, not the gallery.
+        chunk_outs = [
+            run_chunk(letterbox_chunk(i)) for i in range(0, b, device_batch)
+        ]
+        want = keys or chunk_outs[0].keys()
+        return {
+            k: jnp.concatenate([o[k] for o in chunk_outs], axis=0)
+            for k in chunk_outs[0]
+            if k in want
+        }
     # Multi-chunk galleries run as a two-deep host/device pipeline: while
     # the device computes chunk i-1, the host letterboxes chunk i and
     # dispatches it behind the in-order queue; chunk i-1 is then fetched
@@ -1421,12 +1436,24 @@ def sift_batch(
     max_keypoints: int = 2048,
     root_sift: bool = False,
     cfg: SiftConfig | None = None,
+    device: bool = False,
 ):
-    """List of (H, W) uint8 grayscale -> (desc (B, N, 128), mask (B, N))."""
+    """List of (H, W) uint8 grayscale -> (desc (B, N, 128), mask (B, N)).
+
+    ``device=True`` returns DEVICE-RESIDENT jnp arrays (f32 descriptors,
+    root-SIFT applied on device) instead of host numpy through the uint8
+    wire: consumers that immediately encode on device (the
+    VLAD/FV encoders — the reference's flagship gallery workflow) skip
+    both the descriptor downlink AND the f32 re-upload. Memory stays
+    bounded by the caller's batch size (the encoders' encoding-map
+    streaming uses 64-image batches: ~64 MB of resident descriptors),
+    unlike the unbounded-gallery wire path this mode does not replace.
+    """
     cfg = cfg or SiftConfig(max_keypoints=max_keypoints)
     if cfg.max_keypoints != max_keypoints:
         cfg = dataclasses.replace(cfg, max_keypoints=max_keypoints)
     out = sift_descriptors(
-        grays, cfg, root_sift=root_sift, keys=("desc", "mask")
+        grays, cfg, root_sift=root_sift, keys=("desc", "mask"),
+        device=device,
     )
     return out["desc"], out["mask"]

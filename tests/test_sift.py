@@ -243,3 +243,32 @@ def test_sift_config_radius_class_coverage():
     with pytest.raises(ValueError, match="desc_patch_radius"):
         SiftConfig(desc_radius_classes=(24, 32))
     SiftConfig()  # defaults stay valid
+
+
+def test_encoder_device_resident_descriptor_handoff():
+    """encode() consumes SIFT descriptors device-resident (no host wire
+    round trip; measured 13x on the relay-attached chip for the gallery
+    encoding-map flow, docs/PERF.md round 3f) and must produce EXACTLY
+    the wire path's encodings, including on a multi-chunk (>16) batch."""
+    from pyvisim_tpu.encoders import KMeansWeights, VLADEncoder
+    from pyvisim_tpu.features import RootSIFT
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        img = np.zeros((150, 180, 3), np.uint8)
+        for _ in range(25):
+            y, x = r.integers(15, 135), r.integers(15, 165)
+            yy, xx = np.mgrid[:150, :180]
+            rad = int(r.integers(3, 12))
+            img[(yy - y) ** 2 + (xx - x) ** 2 < rad**2] = r.integers(60, 255, 3)
+        return img
+
+    imgs = [mk(s) for s in range(20)]  # > device_batch -> multi-chunk
+    ext = RootSIFT(max_keypoints=256, process_size=128)
+    enc = VLADEncoder(
+        feature_extractor=ext, weights=KMeansWeights.OXFORD102_K256_ROOTSIFT
+    )
+    v_dev = enc.encode(imgs)  # device-resident handoff (default)
+    d, m = ext.extract_batch(imgs)  # host wire path
+    v_wire = enc._encode_descriptors(d, m)
+    np.testing.assert_array_equal(v_dev, v_wire)
