@@ -189,10 +189,18 @@ class SIFT(FeatureExtractorBase):
         materializes host-side by design — ADVICE r2)."""
         if self.backend != "tpu" or self.mesh is not None:
             return self.extract_batch(images)
+        import os
+
         from ..ops import sift as sift_ops
 
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
+        images = list(images) if not isinstance(images, np.ndarray) else images
+        cap = 16 * int(os.environ.get("PYVISIM_SIFT_DEVICE_BATCH", "16"))
+        if len(images) > cap:
+            # gallery-scale request: fall back to the bounded-HBM wire
+            # path rather than keeping ~1 MB/img of descriptors resident
+            return self.extract_batch(images)
         grays = [_to_gray_u8(np.asarray(img)) for img in images]
         return sift_ops.sift_batch(
             grays, max_keypoints=self.max_keypoints, root_sift=self._root,

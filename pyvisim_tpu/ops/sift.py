@@ -1389,7 +1389,17 @@ def sift_descriptors(
         # Device-resident multi-chunk (see sift_batch(device=True)):
         # dispatch every chunk behind the in-order queue and concatenate
         # ON DEVICE — no host materialization at all. Residency is
-        # bounded by the caller's batch, not the gallery.
+        # bounded by the caller's batch, so refuse gallery-sized requests
+        # loudly instead of growing HBM ~1 MB/image until OOM (the same
+        # trap ADVICE r2 flagged for the mesh path's device concat).
+        if b > 16 * device_batch:
+            raise ValueError(
+                f"sift device=True keeps all {b} images' descriptors "
+                f"device-resident (~{b} MB); cap the batch at "
+                f"{16 * device_batch} (the encoders stream encoding maps "
+                "in 64-image batches) or use the host wire path "
+                "(device=False) for gallery-scale extraction."
+            )
         chunk_outs = [
             run_chunk(letterbox_chunk(i)) for i in range(0, b, device_batch)
         ]
