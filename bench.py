@@ -125,6 +125,47 @@ def sift_e2e_main() -> None:
     )
 
 
+def encode_map_main() -> None:
+    """Flagship reference workflow: SIFT-family gallery encoding
+    (RootSIFT -> VLAD-k256 through the public encoder API, the path
+    ``generate_encoding_map`` streams), with the device-resident
+    descriptor handoff (docs/PERF.md round 3f)
+    (PYVISIM_BENCH_METRIC=encode_map)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+    from train_vocabularies import synthetic_corpus
+
+    from pyvisim_tpu.encoders import KMeansWeights, VLADEncoder
+    from pyvisim_tpu.features import RootSIFT
+
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "64"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "3"))
+    imgs = [i.astype(np.uint8) for i in synthetic_corpus(batch, 0, size=512)]
+    enc = VLADEncoder(
+        feature_extractor=RootSIFT(),
+        weights=KMeansWeights.OXFORD102_K256_ROOTSIFT,
+    )
+    _ = enc.encode(imgs)  # compile + warm
+    t0 = time.time()
+    for _ in range(steps):
+        out = enc.encode(imgs)  # returns host numpy: true end-to-end
+    img_s = batch * steps / (time.time() - t0)
+    assert out.shape == (batch, 256 * 128)
+    print(
+        json.dumps(
+            {
+                "metric": "rootsift_vlad_encode_map_throughput",
+                "value": round(img_s, 1),
+                "unit": "images/sec/chip",
+                # reference: ~20 img/s OpenCV extraction alone bounds its
+                # serial extract+encode loop above the encode cost
+                "vs_baseline": round(img_s / 20.0, 3),
+            }
+        )
+    )
+
+
 def latency_main() -> None:
     """p50 end-to-end query latency: encode ONE image (VGG16 -> VLAD-k256)
     and rank it against a 6,149-vector gallery (Oxford-102 train size)."""
@@ -195,6 +236,9 @@ def main() -> None:
         return
     if metric == "sift_e2e":
         sift_e2e_main()
+        return
+    if metric == "encode_map":
+        encode_map_main()
         return
     import jax
     import jax.numpy as jnp
