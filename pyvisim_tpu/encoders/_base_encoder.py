@@ -717,10 +717,23 @@ def _encode_paths_to_map(
 
         h5 = h5py.File(save_path, "w")
     result: dict[str, np.ndarray] = {}
-    try:
+
+    def _decoded_chunks():
         for start in range(0, len(paths), batch_size):
             chunk = paths[start : start + batch_size]
-            vecs = np.asarray(encode_fn([imread_rgb(p) for p in chunk]))
+            yield chunk, [imread_rgb(p) for p in chunk]
+
+    from ..io import PrefetchIterator
+
+    try:
+        # decode batch i+1 on a background thread while batch i encodes
+        # (the encode leg is mostly device-wait, so the decode thread
+        # overlaps even on a single-CPU host; cv2/native decode release
+        # the GIL)
+        for chunk, imgs in PrefetchIterator(
+            _decoded_chunks(), depth=2, to_device=False
+        ):
+            vecs = np.asarray(encode_fn(imgs))
             if h5 is not None:
                 if vec_ds is None:
                     import h5py
