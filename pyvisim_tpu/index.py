@@ -61,32 +61,22 @@ class RetrievalIndex:
                 jnp.round(vectors / scales), -127, 127
             ).astype(jnp.int8)
 
-        if mesh is not None:
-            from .parallel import data_sharding, pad_to_multiple
-
-            vectors, self._n = pad_to_multiple(vectors, mesh.shape["data"])
-            vectors = jax.device_put(vectors, data_sharding(mesh, 2))
-            if scales is not None:
-                scales, _ = pad_to_multiple(scales, mesh.shape["data"])
-                scales = jax.device_put(scales, data_sharding(mesh, 2))
-        else:
-            self._n = vectors.shape[0]
-        self.vectors = vectors
-        self.scales = scales
+        self._n = vectors.shape[0]
         self.quantize = quantize
         self.paths = list(paths)
         self.labels = None if labels is None else np.asarray(labels)
         self.mesh = mesh
-
-        n = self._n
+        self._place(vectors, scales)
 
         from functools import partial
 
         # The gallery is passed as a jit argument, not closed over — a
         # closed-over concrete array would be baked into the HLO as a
-        # (potentially multi-GB) constant.
+        # (potentially multi-GB) constant. The live row count ``n`` is a
+        # traced argument so capacity padding (``add``) and sharding
+        # padding share one mask and appends don't retrace.
         @partial(jax.jit, static_argnames=("k",))
-        def _query_impl(q, gallery, scales, k):
+        def _query_impl(q, gallery, scales, n, k):
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             if gallery.dtype == jnp.int8:
                 # int8 MXU path: quantize the query symmetrically, dot in
@@ -98,11 +88,91 @@ class RetrievalIndex:
                 sims = acc.astype(jnp.float32) * q_scale * scales.T
             else:
                 sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
-            if sims.shape[1] > n:  # mask sharding pad
-                sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
+            sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
             return jax.lax.top_k(sims, k)
 
-        self._query = lambda q, k: _query_impl(q, self.vectors, self.scales, k)
+        self._query = lambda q, k: _query_impl(
+            q, self.vectors, self.scales, self._n, k
+        )
+
+    def _place(self, vectors, scales):
+        """Pad the (n, D) normalized/quantized gallery to capacity and
+        (re-)place it on device. Capacity grows in powers of two so
+        ``add`` amortizes recompiles of the shape-specialized query; the
+        query masks rows >= the live count."""
+        n = vectors.shape[0]
+        cap = 1 << max(0, (max(n, 1) - 1).bit_length())
+        if self.mesh is not None:
+            cap = -(-cap // self.mesh.shape["data"]) * self.mesh.shape["data"]
+        if cap != n:
+            vectors = jnp.concatenate(
+                [vectors, jnp.zeros((cap - n,) + vectors.shape[1:],
+                                    vectors.dtype)]
+            )
+            if scales is not None:
+                scales = jnp.concatenate(
+                    [scales, jnp.ones((cap - n, 1), scales.dtype)]
+                )
+        if self.mesh is not None:
+            from .parallel import data_sharding
+
+            vectors = jax.device_put(vectors, data_sharding(self.mesh, 2))
+            if scales is not None:
+                scales = jax.device_put(scales, data_sharding(self.mesh, 2))
+        self.vectors = vectors
+        self.scales = scales
+
+    def add(
+        self,
+        vectors: np.ndarray,
+        paths: Sequence[str],
+        labels: Sequence[int] | None = None,
+    ) -> None:
+        """Append gallery rows to a live index (streaming ingest).
+
+        New rows are L2-normalized (and int8-quantized in quantize="int8"
+        mode — existing rows keep their original codes/scales) and
+        concatenated ON DEVICE; capacity grows in powers of two so the
+        shape-specialized query only recompiles at doublings. The
+        reference has no serving index at all, so this is TPU-native
+        surplus surface (anchor: its per-query rescoring loop,
+        pyvisim/eval.py:13-46).
+        """
+        new = jnp.asarray(vectors, jnp.float32)
+        if new.ndim != 2 or new.shape[0] != len(paths):
+            raise ValueError(
+                f"vectors must be (N, D) with N == len(paths); got "
+                f"{new.shape} and {len(paths)} paths"
+            )
+        if (self.labels is None) != (labels is None):
+            raise ValueError(
+                "labels must be provided iff the index was built with labels"
+            )
+        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
+        new = new / jnp.where(norms == 0, 1.0, norms)
+        new_scales = None
+        if self.quantize == "int8":
+            max_abs = jnp.maximum(
+                jnp.max(jnp.abs(new), axis=1, keepdims=True), 1e-12
+            )
+            new_scales = max_abs / 127.0
+            new = jnp.clip(
+                jnp.round(new / new_scales), -127, 127
+            ).astype(jnp.int8)
+        live = self.vectors[: self._n]
+        merged = jnp.concatenate([live, new])
+        merged_scales = None
+        if self.quantize == "int8":
+            merged_scales = jnp.concatenate(
+                [self.scales[: self._n], new_scales]
+            )
+        self._n = merged.shape[0]
+        self.paths.extend(paths)
+        if labels is not None:
+            self.labels = np.concatenate(
+                [self.labels, np.asarray(labels)]
+            )
+        self._place(merged, merged_scales)
 
     @classmethod
     def build(

@@ -109,3 +109,51 @@ def test_int8_index_save_load(index_setup, tmp_path, rng):
     np.testing.assert_array_equal(
         q8.query_vectors(q, 4)[1], back.query_vectors(q, 4)[1]
     )
+
+
+def test_index_add_streaming_ingest(index_setup, rng):
+    """add() must behave exactly like building the index from the full
+    gallery (f32 mode), across a capacity-doubling boundary."""
+    vecs, paths, labels = index_setup
+    n0 = len(paths) // 2
+    idx = RetrievalIndex(vecs[:n0], paths[:n0], labels[:n0])
+    idx.add(vecs[n0:], paths[n0:], labels[n0:])
+    full = RetrievalIndex(vecs, paths, labels)
+    assert len(idx) == len(full) == len(paths)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    s_a, i_a = idx.query_vectors(q, 5)
+    s_f, i_f = full.query_vectors(q, 5)
+    np.testing.assert_array_equal(i_a, i_f)
+    np.testing.assert_allclose(s_a, s_f, atol=1e-6)
+    # paths/labels followed the appends
+    assert idx.paths == list(paths)
+    np.testing.assert_array_equal(idx.labels, np.asarray(labels))
+
+
+def test_index_add_int8_and_save_roundtrip(index_setup, tmp_path, rng):
+    """int8 ingest: appended rows are quantized, existing codes kept, and
+    the grown index survives save/load."""
+    vecs, paths, labels = index_setup
+    n0 = 5
+    idx = RetrievalIndex(vecs[:n0], paths[:n0], labels[:n0], quantize="int8")
+    idx.add(vecs[n0:], paths[n0:], labels[n0:])
+    full = RetrievalIndex(vecs, paths, labels, quantize="int8")
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        idx.query_vectors(q, 4)[1], full.query_vectors(q, 4)[1]
+    )
+    p = str(tmp_path / "grown.npz")
+    idx.save(p)
+    back = RetrievalIndex.load(p)
+    np.testing.assert_array_equal(
+        idx.query_vectors(q, 4)[1], back.query_vectors(q, 4)[1]
+    )
+
+
+def test_index_add_label_consistency(index_setup):
+    vecs, paths, labels = index_setup
+    idx = RetrievalIndex(vecs[:4], paths[:4])  # no labels
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labels"):
+        idx.add(vecs[4:6], paths[4:6], labels[4:6])
