@@ -157,3 +157,21 @@ def test_index_add_label_consistency(index_setup):
 
     with _pytest.raises(ValueError, match="labels"):
         idx.add(vecs[4:6], paths[4:6], labels[4:6])
+
+
+def test_sharded_index_add_matches_unsharded(index_setup, rng):
+    """Streaming ingest on a mesh-sharded index: the capacity/placement
+    engine must re-shard grown galleries identically to a from-scratch
+    sharded build."""
+    from pyvisim_tpu.parallel import make_mesh
+
+    vecs, paths, _ = index_setup
+    mesh = make_mesh(8, axis_names=("data",))
+    n0 = 6
+    idx = RetrievalIndex(vecs[:n0], paths[:n0], mesh=mesh)
+    idx.add(vecs[n0:], paths[n0:])
+    plain = RetrievalIndex(vecs, paths)
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        idx.query_vectors(q, 5)[1], plain.query_vectors(q, 5)[1]
+    )
