@@ -272,3 +272,26 @@ def test_encoder_device_resident_descriptor_handoff():
     d, m = ext.extract_batch(imgs)  # host wire path
     v_wire = enc._encode_descriptors(d, m)
     np.testing.assert_array_equal(v_dev, v_wire)
+
+
+@pytest.mark.parametrize("ps", [32, 96, 200])
+def test_fold_geometry_odd_process_sizes(ps):
+    """The row-folded atlas/DoG layouts must hold (and the Pallas window
+    kernels must match XLA exactly) at process sizes whose octave dims
+    are not multiples of 8 — exercises every rounding path in the fold
+    geometry."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.ops import sift as S
+
+    rng_np = np.random.default_rng(0)
+    img = (rng_np.random((ps + 13, ps - 5)) * 255).astype(np.uint8)
+    base = jnp.asarray(S._letterbox(img, ps))[None]
+    kw = dict(process_size=ps, max_keypoints=128, ori_chunk=32,
+              desc_chunk=16, pallas_chunk=32)
+    ox = S._sift_core(base, S.SiftConfig(patch_backend="xla", **kw))
+    op = S._sift_core(base, S.SiftConfig(patch_backend="pallas", **kw))
+    np.testing.assert_array_equal(
+        np.asarray(ox["mask"]), np.asarray(op["mask"]))
+    np.testing.assert_allclose(
+        np.asarray(ox["desc"]), np.asarray(op["desc"]), atol=1.0)
