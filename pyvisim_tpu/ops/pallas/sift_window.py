@@ -57,9 +57,13 @@ def _window_geom(radius: int):
     lane width of the 16-col-aligned window."""
     p = 2 * radius + 1
     nh8 = (p + 6) // 8 + 1
-    # 16-col alignment slack, folded 8 rows/col, rounded up to a full
-    # 128-lane tile (DMA slice widths must be lane-tile multiples)
-    lw = -(-(p + 16) * 8 // 128) * 128
+    # 16-col alignment slack (the col residual cres = ws - (ws//16)*16 is
+    # at most 15, so a window spans <= p + 15 cols), folded 8 rows/col,
+    # rounded up to a full 128-lane tile (DMA slice widths must be
+    # lane-tile multiples). p + 15, not p + 16: every default radius
+    # class has p = 2R + 1 == 1 (mod 16), so the off-by-one costs a whole
+    # extra 128-lane tile of DMA + window math (640 -> 512 at R=24).
+    lw = -(-(p + 15) * 8 // 128) * 128
     return p, nh8, lw
 
 
@@ -120,19 +124,21 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
 
     # hist[rc, o] accumulated over the nh8 row-chunks; hat weights are
     # built (6, lw) per chunk and expanded to (36, lw) by repeat/tile so
-    # the expensive ops touch 12*lw elements, not 72*lw
+    # the expensive ops touch 12*lw elements, not 72*lw. mag folds into
+    # hr BEFORE the 36-row expansion (6*lw multiplies, not 36*lw), so
+    # the expanded product is a single (36, lw) multiply.
     hist = jnp.zeros(((_D + 2) * (_D + 2), _N + 2), f32)
     for i0 in range(nh8):
-        hr = hat(rbin[i0:i0 + 1, :] + 1.0 - k6)  # (6, lw)
+        hrm = hat(rbin[i0:i0 + 1, :] + 1.0 - k6) * mag[i0:i0 + 1, :]
         hc = hat(cbin[i0:i0 + 1, :] + 1.0 - k6)  # (6, lw)
-        # rows k = r*6 + c: hr needs element-repeat (row k -> hr[k//6],
+        # rows k = r*6 + c: hrm needs element-repeat (row k -> hrm[k//6],
         # via broadcast+reshape), hc needs tile (row k -> hc[k%6];
         # pltpu.repeat is whole-block tile semantics)
         hr36 = jnp.broadcast_to(
-            hr[:, None, :], (_D + 2, _D + 2, lw)).reshape(
+            hrm[:, None, :], (_D + 2, _D + 2, lw)).reshape(
                 (_D + 2) * (_D + 2), lw)
         hc36 = pltpu.repeat(hc, _D + 2, 0)
-        a = (hr36 * hc36 * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
+        a = (hr36 * hc36).astype(jnp.bfloat16)
         wo = hat(pos_o[i0:i0 + 1, :] - ko).astype(jnp.bfloat16)
         hist = hist + jax.lax.dot_general(
             a, wo, (((1,), (1,)), ((), ())),
