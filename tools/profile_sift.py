@@ -86,20 +86,56 @@ def main() -> None:
                     tot = tot + jnp.sum(jax.vmap(tk)(dog[o]))
                 return tot
             if stage == "gather":
+                # production-path refine window gather (the Pallas
+                # refine_gather_pass on non-CPU backends, matching
+                # _refine_candidates' operand construction; the old
+                # version timed the XLA fallback _gather_refine_patches,
+                # which production does not run on TPU)
+                from pyvisim_tpu.ops.pallas.sift_window import (
+                    refine_gather_pass,
+                )
+
+                reach = cfg.refine_reach
+                side = 2 * reach + 3
+                nq = (side + 14) // 8
                 tot = 0.0
                 for o in range(cfg.n_octaves):
                     budget = cfg.octave_budget(o)
                     dog_o = dog[o]
                     b_sz = dog_o.shape[0]
-                    _v, _l, r_, c_, _ok = jax.vmap(
+                    _v, _l, r_, c_, ok_ = jax.vmap(
                         lambda d: S._rank_candidates(d, budget, cfg)
                     )(dog_o)
                     folded = jax.vmap(lambda d: S._fold_dog(d, cfg))(dog_o)
                     k = r_.shape[1]
                     im = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), k)
-                    pat, _s0 = S._gather_refine_patches(
-                        folded, im, r_.reshape(-1), c_.reshape(-1), cfg)
-                    tot = tot + jnp.sum(pat[:, :, ::3, ::3])
+                    if jax.default_backend() == "cpu":
+                        pat, _s0 = S._gather_refine_patches(
+                            folded, im, r_.reshape(-1), c_.reshape(-1), cfg)
+                        tot = tot + jnp.sum(pat[:, :, ::3, ::3])
+                        continue
+                    h8t = folded.shape[1]
+                    n_total = folded.shape[2]
+                    dog_flat = folded.reshape(-1, n_total, folded.shape[-1])
+                    cand_r = r_.reshape(-1)
+                    cand_c = c_.reshape(-1)
+                    col16 = (cand_c * 8) // 128 * 16
+                    zi = jnp.zeros_like(cand_r)
+                    ints = jnp.stack(
+                        [im * h8t + cand_r // 8, zi,
+                         ok_.reshape(-1).astype(jnp.int32),
+                         zi, zi, col16 * 8, zi, zi], axis=0)
+                    # production chunks the refine queue (refine_chunk);
+                    # one whole-queue pass would also overflow SMEM with
+                    # the (8, n) scalar-prefetch operand
+                    nrow = ints.shape[1]
+                    ck = min(cfg.refine_chunk, nrow)
+                    for s0 in range(0, nrow - nrow % ck, ck):
+                        blk = refine_gather_pass(
+                            dog_flat,
+                            jax.lax.dynamic_slice_in_dim(ints, s0, ck, 1),
+                            n_layers=n_total, side=side, nq=nq)
+                        tot = tot + jnp.sum(blk[:, :, ::3, ::31])
                 return tot
             per_octave = []
             for o in range(cfg.n_octaves):
