@@ -129,3 +129,22 @@ def test_sift_descriptor_window_kernel_matches_xla():
     np.testing.assert_allclose(dp[v], dx[v], atol=1.0)
     # descriptors are integer-valued (OpenCV saturate-cast semantics)
     assert float(np.abs(dp[v] - np.round(dp[v])).max()) == 0.0
+
+
+def test_window_geom_lane_width_is_tight():
+    """The window lane width must cover exactly p + 15 cols (the col
+    residual is ws - (ws//16)*16 <= 15) rounded to full 128-lane tiles.
+    Every default radius class has p = 2R+1 == 1 (mod 16), so a p+16
+    bound would waste a whole extra tile per window (regression guard
+    for the round-3g off-by-one: 640 -> 512 lanes at R=24)."""
+    from pyvisim_tpu.ops.pallas.sift_window import _window_geom
+
+    for radius, want_lw in [(12, 384), (16, 384), (24, 512), (32, 640),
+                            (40, 768)]:
+        p, nh8, lw = _window_geom(radius)
+        assert p == 2 * radius + 1
+        assert lw == want_lw, (radius, lw, want_lw)
+        # exactness: one fewer tile could not cover p + 15 cols
+        assert (lw - 128) < (p + 15) * 8 <= lw
+        # rows: s0 in 0..7, so nh8 chunks must cover p + 7 rows
+        assert nh8 * 8 >= p + 7 > (nh8 - 1) * 8
