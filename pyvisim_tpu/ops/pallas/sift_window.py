@@ -14,8 +14,8 @@ window gather. Here each grid step DMAs a GROUP of 8 candidates'
 folded-atlas windows straight into VMEM (group-double-buffered: group
 i+1's copies are in flight while group i computes), builds the
 hat-function weights row-chunk by row-chunk, and accumulates each
-(36, 10) histogram in registers — descriptors leave the kernel as the
-only HBM write. The 8-candidate grouping amortizes the per-grid-step
+(4, 32) = (r, c*8+o) histogram in registers — descriptors leave the
+kernel as the only HBM write. The 8-candidate grouping amortizes the per-grid-step
 pipeline overhead, measured at ~1.7 us/step with per-candidate steps
 (docs/PERF.md round 3); per-candidate scalars ride the scalar-prefetch
 SMEM arrays, so no per-step operand blocks remain.
@@ -72,8 +72,9 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     """OpenCV calcSIFTDescriptor math over one (nh8, lw) mag/ang window.
     Mirrors ops/sift.py::_descriptor (see its comments); all masks are
     window-relative so alignment residuals (s0 rows, cres cols) need no
-    extraction. Returns the (16, 8) descriptor grid, already normalized
-    and rounded."""
+    extraction. Returns the (4, 32) = (r, c*8+o) descriptor grid,
+    already normalized and rounded (row-major flatten is the standard
+    SIFT 128-D layout)."""
     f32 = jnp.float32
     i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
     qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
@@ -116,51 +117,43 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     pos_o = o0.astype(f32) + of_
 
     # iota must be integer-typed on TPU; cast after
-    k6 = jax.lax.broadcasted_iota(jnp.int32, (_D + 2, 1), 0).astype(f32)
-    ko = jax.lax.broadcasted_iota(jnp.int32, (_N + 2, 1), 0).astype(f32)
+    k4 = jax.lax.broadcasted_iota(jnp.int32, (_D, 1), 0).astype(f32)
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
 
     def hat(x):
         return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
-    # hist[rc, o] accumulated over the nh8 row-chunks; hat weights are
-    # built (6, lw) per chunk and expanded to (36, lw) by repeat/tile so
-    # the expensive ops touch 12*lw elements, not 72*lw. mag folds into
-    # hr BEFORE the 36-row expansion (6*lw multiplies, not 36*lw), so
-    # the expanded product is a single (36, lw) multiply. (Batching all
-    # nh8 chunk dots into one (36, nh8*lw) contraction measured WORSE —
-    # 4.27 vs 4.00 us/cand at R=24 — the concat copies cost more than
-    # the removed accumulate chain saves.)
-    hist = jnp.zeros(((_D + 2) * (_D + 2), _N + 2), f32)
+    # Interior-only, fold-in-weights formulation: the r/c histogram
+    # borders (bins -1 and 4) only ever get DISCARDED — so build hat
+    # weights for the 4 interior bins only — and the circular o border
+    # (bin 8; bin 9 is structurally zero since pos_o < 8) folds onto
+    # bin 0 INSIDE the weight build: wo8[o] = hat(pos-o) + hat(pos-8-o).
+    # The two hats are mutually exclusive per pixel (pos<1 vs pos>7), so
+    # the bf16 product stream is bit-identical to folding after the
+    # accumulate, and hist[r, c*8+o] IS the final 4x4x8 descriptor grid:
+    # no 36-row repeat/tile expansions, no border fold, no 16-of-36
+    # compaction matmul. Per c we contract (4,lw)x(lw,8) on the MXU
+    # against the (8,lw) wo8*hc product — no (32,lw) materialization
+    # (a single batched contraction measured worse; see docs/PERF.md
+    # round-3g negative results on concat/batching).
+    # wo8 via circular hat distance: with po in [0, 8) and integer bins
+    # o in 0..7, d = po - o lies in [-7, 8), so min(|d|, 8 - |d|) < 1
+    # exactly where hat(d) + hat(d - 8) is nonzero (the two hats are
+    # mutually exclusive) and evaluates to the same f32 bits (all
+    # intermediates are exact f32 subtractions) — one hat instead of two.
+    acc = [jnp.zeros((_D, _N), f32) for _ in range(_D)]
     for i0 in range(nh8):
-        hrm = hat(rbin[i0:i0 + 1, :] + 1.0 - k6) * mag[i0:i0 + 1, :]
-        hc = hat(cbin[i0:i0 + 1, :] + 1.0 - k6)  # (6, lw)
-        # rows k = r*6 + c: hrm needs element-repeat (row k -> hrm[k//6],
-        # via broadcast+reshape), hc needs tile (row k -> hc[k%6];
-        # pltpu.repeat is whole-block tile semantics)
-        hr36 = jnp.broadcast_to(
-            hrm[:, None, :], (_D + 2, _D + 2, lw)).reshape(
-                (_D + 2) * (_D + 2), lw)
-        hc36 = pltpu.repeat(hc, _D + 2, 0)
-        a = (hr36 * hc36).astype(jnp.bfloat16)
-        wo = hat(pos_o[i0:i0 + 1, :] - ko).astype(jnp.bfloat16)
-        hist = hist + jax.lax.dot_general(
-            a, wo, (((1,), (1,)), ((), ())),
-            preferred_element_type=f32)
-
-    # keep interior 4x4 spatial rows of the (36, 10) hist, fold the two
-    # circular orientation borders onto bins 0/1 (pad arithmetic —
-    # scatter ops don't lower in Pallas TPU), and compact the 36 rows to
-    # the 16 interior ones via a one-hot matmul (static gather — also
-    # not lowerable as jnp indexing)
-    rows16 = jax.lax.broadcasted_iota(jnp.int32, (36, 1), 0)
-    folded = hist[:, :_N] + jnp.pad(
-        hist[:, _N:_N + 2], ((0, 0), (0, _N - 2)))
-    r16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    src_row = (r16 // _D + 1) * 6 + (r16 % _D + 1)  # (16, 1)
-    sel = (src_row == rows16.reshape(1, 36)).astype(f32)  # (16, 36)
-    vec = jax.lax.dot_general(
-        sel, folded, (((1,), (0,)), ((), ())),
-        preferred_element_type=f32)  # (16, 8); flattened by the caller
+        hr4m = (hat(rbin[i0:i0 + 1, :] - k4)
+                * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)  # (4, lw)
+        hc4 = hat(cbin[i0:i0 + 1, :] - k4)  # (4, lw)
+        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)  # (8, lw)
+        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+        for ci in range(_D):
+            aco = (wo8 * hc4[ci:ci + 1, :]).astype(jnp.bfloat16)
+            acc[ci] = acc[ci] + jax.lax.dot_general(
+                hr4m, aco, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+    vec = jnp.concatenate(acc, axis=1)  # (4, 32) = (r, c*8+o)
 
     nrm2 = jnp.sum(vec * vec)
     thr = jnp.sqrt(nrm2) * 0.2
@@ -181,7 +174,7 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
       lane start (multiple of 128).
     fref (8, n) f32 scalar-prefetch rows: 0 scl_oct, 1 theta, 2 r, 3 c,
       4 h, 5 w.
-    out (_G, 16, 8) f32 block per step (4x4x8 descriptor grids;
+    out (_G, 4, 32) f32 block per step ((r, c*8+o) descriptor grids;
     flattened to 128 by the caller).
     """
     i = pl.program_id(0)
@@ -218,7 +211,7 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
 
         @pl.when(jnp.logical_not(active))
         def _():
-            out_ref[k] = jnp.zeros((16, _N), f32)
+            out_ref[k] = jnp.zeros((_D, 4 * _N), f32)
 
         @pl.when(active)
         def _():
@@ -253,7 +246,7 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
         num_scalar_prefetch=2,
         grid=(n_pad // _G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_G, 16, _N), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((_G, _D, 4 * _N), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
@@ -263,7 +256,7 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
     kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 16, _N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad, _D, 4 * _N), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ints, flts.T, atlas_flat)
@@ -271,26 +264,28 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
 
 
 def _roll36(h, s):
-    """Static circular roll of a (36, 1) histogram by s (concat+slice —
-    dynamic_rotate is unneeded for static shifts and sublane rolls of
-    non-32-bit data don't lower)."""
+    """Static circular roll of a (36, G) histogram block along the bin
+    (sublane) axis by s (concat+slice — dynamic_rotate is unneeded for
+    static shifts and sublane rolls of non-32-bit data don't lower)."""
     sm = s % 36  # normalize negative shifts
     h2 = jnp.concatenate([h, h], axis=0)
-    return h2[36 - sm:72 - sm]
+    return h2[36 - sm:72 - sm, :]
 
 
-def _pick36(h, idx):
-    """h[(idx) % 36] for a traced scalar idx, as a one-hot reduction
-    (dynamic scalar gathers don't lower in Pallas TPU)."""
-    k = jax.lax.broadcasted_iota(jnp.int32, (36, 1), 0)
-    return jnp.sum(jnp.where(k == ((idx % 36) + 36) % 36, h, 0.0))
+def _pick36(h, idx_row):
+    """h[(idx_row) % 36, g] per lane g for a traced (1, G) int row, as a
+    one-hot reduction (dynamic gathers don't lower in Pallas TPU)."""
+    k = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+    sel = k == ((idx_row % 36) + 36) % 36
+    return jnp.sum(jnp.where(sel, h, 0.0), axis=0, keepdims=True)
 
 
-def _candidate_orientation(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
-                           s0, cres, *, radius: int, nh8: int, lw: int):
-    """OpenCV dominant-orientation math over one (nh8, lw) mag/ang
-    window; mirrors ops/sift.py::_orientation. Returns (theta, theta2,
-    has_second) scalars."""
+def _candidate_ori_hist(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
+                        s0, cres, *, radius: int, nh8: int, lw: int):
+    """OpenCV dominant-orientation raw histogram over one (nh8, lw)
+    mag/ang window; mirrors ops/sift.py::_orientation. Returns the
+    unsmoothed (36, 1) histogram — smoothing/peak-finding runs once per
+    grid step over all _G candidates (_group_ori_peaks)."""
     f32 = jnp.float32
     i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
     qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
@@ -321,6 +316,21 @@ def _candidate_orientation(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
     for i0 in range(nh8):
         oh = (bin_idx[i0:i0 + 1, :] == k36).astype(f32)  # (36, lw)
         hist = hist + jnp.sum(oh * wm[i0:i0 + 1, :], axis=1, keepdims=True)
+    return hist
+
+
+def _group_ori_peaks(hist, G):
+    """Smoothing + parabolic peak-finding over a (36, G) block of raw
+    histograms (candidates on lanes). The ~30 tiny 36-element ops here
+    measured 43% of the whole kernel when run per candidate on (36, 1)
+    arrays (five near-empty vregs each); batching the grid step's _G
+    candidates into the lane axis runs them at identical vreg cost,
+    amortized G-ways. A zero column (inactive candidate) yields exactly
+    (0.0, 0.0, False), matching the old inactive-branch output. Returns
+    (1, G) rows: theta, theta2, has_second (as f32 0/1)."""
+    f32 = jnp.float32
+    n_bins = 36
+    k36g = jax.lax.broadcasted_iota(jnp.int32, (n_bins, G), 0)
 
     # circular smoothing [1,4,6,4,1]/16
     hist = (
@@ -328,6 +338,13 @@ def _candidate_orientation(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
         + (_roll36(hist, 1) + _roll36(hist, -1)) * (4.0 / 16.0)
         + hist * (6.0 / 16.0)
     )
+
+    def argmax_rows(v):
+        # first-max row index per lane, as (1, G) int32 (jnp.argmax's
+        # first-occurrence tie-break, kept 2-D for Mosaic)
+        m = jnp.max(v, axis=0, keepdims=True)
+        return jnp.min(jnp.where(v == m, k36g, n_bins), axis=0,
+                       keepdims=True)
 
     def peak_theta(peak):
         l_ = _pick36(hist, peak - 1)
@@ -338,25 +355,26 @@ def _candidate_orientation(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
                            0.5 * (l_ - r_) / denom, 0.0)
         return (peak.astype(f32) + interp) * (2.0 * np.pi / n_bins)
 
-    peak = jnp.argmax(hist).astype(jnp.int32)  # (36,1): flat idx == row
+    peak = argmax_rows(hist)
     theta = peak_theta(peak)
 
     left = _roll36(hist, 1)
     right = _roll36(hist, -1)
     omax = _pick36(hist, peak)
     is_peak = (hist > left) & (hist >= right) & (hist >= 0.8 * omax)
-    is_peak = is_peak & (k36 != peak)
-    second = jnp.argmax(jnp.where(is_peak, hist,
-                                  -jnp.inf)).astype(jnp.int32)
-    has_second = jnp.any(is_peak)
-    theta2 = jnp.where(has_second, peak_theta(second), 0.0)
-    return theta, theta2, has_second
+    is_peak = is_peak & (k36g != peak)
+    second = argmax_rows(jnp.where(is_peak, hist, -jnp.inf))
+    has_second = jnp.any(is_peak, axis=0, keepdims=True)
+    theta2 = jnp.where(has_second, peak_theta(second % n_bins), 0.0)
+    return theta, theta2, has_second.astype(f32)
 
 
-def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
+def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, hist_sc, *,
                 radius: int, nh8: int, lw: int):
-    """Same scaffold as _desc_kernel; out (_G, 1, 8) f32 blocks of
-    [theta, theta2, has_second, 0...] rows."""
+    """Same scaffold as _desc_kernel; raw histograms land per candidate
+    in the (36, _G) hist_sc scratch (candidates on lanes), then ONE
+    vectorized smoothing/peak pass per grid step writes the (3, _G) out
+    block of [theta; theta2; has_second] rows."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
     f32 = jnp.float32
@@ -391,23 +409,22 @@ def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
 
         @pl.when(jnp.logical_not(active))
         def _():
-            out_ref[k] = jnp.zeros((1, 8), f32)
+            hist_sc[:, k:k + 1] = jnp.zeros((36, 1), f32)
 
         @pl.when(active)
         def _():
             mk(i % 2, i, k).wait()
             mag_w = sb[i % 2, k, :, 0, :].astype(f32)
             ang = sb[i % 2, k, :, 1, :].astype(f32)
-            theta, theta2, hs = _candidate_orientation(
+            hist_sc[:, k:k + 1] = _candidate_ori_hist(
                 mag_w, ang,
                 fref[0, j], fref[1, j], fref[2, j], fref[3, j],
                 fref[4, j], fref[5, j],
                 iref[3, j].astype(f32), iref[4, j].astype(f32),
                 radius=radius, nh8=nh8, lw=lw)
-            row = jnp.concatenate(
-                [theta.reshape(1, 1), theta2.reshape(1, 1),
-                 hs.astype(f32).reshape(1, 1)], axis=1)
-            out_ref[k] = jnp.pad(row, ((0, 0), (0, 5)))
+
+    theta, theta2, hs = _group_ori_peaks(hist_sc[:, :], _G)
+    out_ref[0] = jnp.concatenate([theta, theta2, hs], axis=0)  # (3, _G)
 
 
 @functools.partial(
@@ -427,21 +444,22 @@ def orientation_window_pass(atlas_flat, ints, flts, *, radius: int,
         num_scalar_prefetch=2,
         grid=(n_pad // _G,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_G, 1, 8), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, 3, _G), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
             pltpu.SemaphoreType.DMA((2, _G)),
+            pltpu.VMEM((36, _G), jnp.float32),
         ],
     )
     kern = functools.partial(_ori_kernel, radius=radius, nh8=nh8, lw=lw)
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n_pad, 1, 8), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_pad // _G, 3, _G), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(ints, flts.T, atlas_flat)
-    out = out[:n, 0, :]
+    out = out.transpose(0, 2, 1).reshape(n_pad, 3)[:n]  # XLA, not Mosaic
     return out[:, 0], out[:, 1], out[:, 2] > 0.5
 
 
