@@ -52,12 +52,16 @@ def sift_main() -> None:
     base = jnp.asarray(
         np.stack([S._letterbox(i.mean(axis=2), cfg.process_size) for i in imgs])
     )
-    full = jax.jit(lambda bb: S._sift_core(bb, cfg)["desc"])
-    _ = float(np.asarray(full(base)).sum())  # compile + sync
+    # drain with a DEVICE-side scalar checksum: np.asarray(out) would pull
+    # the full 16 MB descriptor block through the ~50 MB/s relay INSIDE the
+    # timed window (0.3-1 s depending on relay state — most of the metric's
+    # historical run-to-run variance); one 4-byte fetch costs one ~30 ms RTT
+    full = jax.jit(lambda bb: S._sift_core(bb, cfg)["desc"].sum())
+    _ = float(full(base))  # compile + sync
     t0 = time.time()
     for _ in range(steps):
         out = full(base)
-    _ = float(np.asarray(out).sum())  # drain the in-order queue
+    _ = float(out)  # drain the in-order queue
     img_s = batch * steps / (time.time() - t0)
     print(
         json.dumps(

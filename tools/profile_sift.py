@@ -188,23 +188,110 @@ def main() -> None:
             f_ww = widths[fq["octave"]]
             bk = b_sz * k
             theta = jnp.zeros((bk,), jnp.float32)
+            theta2 = jnp.zeros((bk,), jnp.float32)
+            has_second = jnp.zeros((bk,), bool)
+            use_pallas = jax.default_backend() != "cpu"
+            h8t = atlas.shape[2]
+            atlas_flat = atlas.reshape(-1, 2, atlas.shape[-1])
+            n_l = cfg.n_octave_layers
             for ci, radius in enumerate(cfg.ori_radius_classes):
                 pv = fq["valid"] & (ocls_s == ci)
-                t, t2, hs = S._chunked_vmap(
-                    lambda im, l, rr, cc, s, v, ro, h_, w_: S._orientation(
-                        atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
-                        radius=radius, img=im,
-                    ),
-                    (
-                        fq["img"], fq["layer"], fq["r"], fq["c"],
-                        fq["scl_oct"], pv, f_ro, f_hh, f_ww,
-                    ),
-                    chunk=min(cfg.ori_chunk, bk),
-                    valid=pv,
-                )
+                if use_pallas:
+                    # mirror _sift_core's production pallas dispatch
+                    # (the XLA _orientation fallback is NOT what runs
+                    # on TPU — timing it misattributes the stage)
+                    from pyvisim_tpu.ops.pallas.sift_window import (
+                        orientation_window_pass,
+                    )
+
+                    gr = fq["r"] + pad + f_ro
+                    rs = gr - radius
+                    ws = fq["c"] - radius + pad
+                    ws16 = (ws // 16) * 16
+                    row0 = (fq["img"] * n_l + (fq["layer"] - 1)) * h8t \
+                        + rs // 8
+                    zi = jnp.zeros_like(ws)
+                    ints = jnp.stack(
+                        [row0, zi, pv.astype(jnp.int32), rs % 8,
+                         ws - ws16, ws16 * 8, zi, zi], axis=1)
+                    flts = jnp.stack(
+                        [fq["scl_oct"], jnp.zeros_like(fq["scl_oct"]),
+                         fq["r"].astype(jnp.float32),
+                         fq["c"].astype(jnp.float32),
+                         f_hh.astype(jnp.float32),
+                         f_ww.astype(jnp.float32),
+                         jnp.zeros_like(fq["scl_oct"]),
+                         jnp.zeros_like(fq["scl_oct"])], axis=1)
+                    t, t2, hs = S._chunked_vmap(
+                        lambda i8, f8, radius=radius:
+                        orientation_window_pass(
+                            atlas_flat, i8.T, f8, radius=radius),
+                        (ints, flts),
+                        chunk=min(cfg.pallas_chunk, bk),
+                        valid=pv,
+                        batched=True,
+                    )
+                else:
+                    t, t2, hs = S._chunked_vmap(
+                        lambda im, l, rr, cc, s, v, ro, h_, w_:
+                        S._orientation(
+                            atlas, h_, w_, pad, l, rr, cc, s, v, cfg, ro,
+                            radius=radius, img=im,
+                        ),
+                        (
+                            fq["img"], fq["layer"], fq["r"], fq["c"],
+                            fq["scl_oct"], pv, f_ro, f_hh, f_ww,
+                        ),
+                        chunk=min(cfg.ori_chunk, bk),
+                        valid=pv,
+                    )
                 theta = theta + t
+                theta2 = theta2 + t2
+                has_second = has_second | hs
             if stage == "orient":
                 return jnp.sum(theta)
+
+            # step-4 mirror: secondary-orientation duplicates re-ranked
+            # into the budget + the descriptor-class queue sort — the
+            # batch-wide glue between the two window-kernel stages
+            inv = jnp.argsort(order)
+            theta_b = theta[inv].reshape(b_sz, k)
+            theta2_b = theta2[inv].reshape(b_sz, k)
+            hs_b = has_second[inv].reshape(b_sz, k)
+            dup = dict(cand)
+            dup["valid"] = cand["valid"] & hs_b
+            dup["response"] = jnp.where(dup["valid"], cand["response"], -1.0)
+            rows_d = {
+                n: jnp.concatenate([cand[n], dup[n]], axis=1) for n in cand
+            }
+            rows_d["theta"] = jnp.concatenate([theta_b, theta2_b], axis=1)
+            _, top2 = jax.lax.top_k(
+                jnp.where(rows_d["valid"], rows_d["response"], -1.0), k
+            )
+            rows_d = {
+                n: jnp.take_along_axis(v, top2, axis=1)
+                for n, v in rows_d.items()
+            }
+            need_d = jnp.round(3.0 * 1.4142135623730951 * 2.5
+                               * rows_d["scl_oct"])
+            dcls = jnp.minimum(
+                jnp.searchsorted(
+                    jnp.asarray(cfg.desc_radius_classes, jnp.float32),
+                    need_d.reshape(-1),
+                ),
+                len(cfg.desc_radius_classes) - 1,
+            ).astype(jnp.int32)
+            flat_d = {
+                n: v.reshape((b_sz * k,) + v.shape[2:])
+                for n, v in rows_d.items()
+            }
+            flat_d["img"] = jnp.repeat(jnp.arange(b_sz, dtype=jnp.int32), k)
+            key_d = jnp.where(flat_d["valid"], dcls, jnp.int32(1 << 15))
+            order_d = jnp.argsort(key_d, stable=True)
+            fq_d = {n: v[order_d] for n, v in flat_d.items()}
+            if stage == "rerank":
+                return (jnp.sum(fq_d["theta"]) + jnp.sum(fq_d["r"])
+                        + jnp.sum(jnp.argsort(order_d)))
             return None  # unused
 
         return run
@@ -220,7 +307,7 @@ def main() -> None:
 
     rows = []
     for stage in ("pyramid", "mask", "topk", "gather", "detect", "atlas",
-                  "orient"):
+                  "orient", "rerank"):
         ms = timed(prefix(stage), base_j)
         rows.append((stage, ms))
         print(f"cumulative through {stage:8s}: {ms:7.2f} ms/img", flush=True)
