@@ -358,38 +358,47 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
     # the patch interior and one-hot-selected 10 scalars per iteration —
     # but the dense maps are 10x3x11x11 f32 per candidate and the select
     # re-reads them every iteration: ~87 KB of HBM traffic per candidate.
-    # Selecting the raw 27-value cube (row/col/layer one-hot matmuls
-    # against the 3.4 KB patch) and deriving the 10 stencil scalars from
-    # it on the VPU is ~4x less traffic and skips the dense-map writes.
+    # Round 3: the row residual s0 (and on the Pallas path the col
+    # residual jres of the 16-col-aligned window) is the SAME for every
+    # iteration, so absorb both ONCE into a compact (N, side, L+2, side)
+    # patch; each of the 6 cube selects then reads ~1.6 KB instead of the
+    # full ~10 KB folded window (~7x less traffic and select compute).
     n_cand = patches.shape[0]
     center = reach  # local spatial index of the starting pixel in interior
     tri = jnp.arange(3, dtype=jnp.int32)
+
+    ii = jnp.arange(side, dtype=jnp.int32)
+    q16 = s0[:, None] + ii  # (N, side) folded row ids of patch rows
+    rq = jax.nn.one_hot(q16 // 8, patches.shape[1], dtype=patches.dtype)
+    rs8 = jax.nn.one_hot(q16 % 8, 8, dtype=patches.dtype)
+    t = jnp.einsum(
+        "nis,nqljs->niqlj", rs8, patches, preferred_element_type=jnp.float32
+    )
+    compact = jnp.einsum(
+        "niq,niqlj->nilj", rq, t, preferred_element_type=jnp.float32
+    )  # (N, side, L+2, wcols): patch row i = folded row s0+i
+    if use_pallas:
+        chc = jax.nn.one_hot(jres[:, None] + ii, wcols, dtype=patches.dtype)
+        compact = jnp.einsum(
+            "nkj,nilj->nilk", chc, compact, preferred_element_type=jnp.float32
+        )  # (N, side, L+2, side): patch col k = window col jres+k
+    # else: jres == 0 and wcols == side — compact is already aligned.
 
     def select(layer, dr, dc):
         """10 stencil scalars at local interior position (layer, dr, dc).
 
         Interior (dr, dc) sits at patch row/col dr+1/dc+1; its 3x3
-        spatial block spans patch rows dr..dr+2 / cols dc..dc+2, and the
-        scale cube spans patch layers layer-1..layer+1. Patches are
-        row-folded (N, q0, col, s, l) with patch row i at
-        q16 = s0 + i = 8*q0 + s (see _gather_refine_patches), so the row
-        select factors into a chunk one-hot x subrow one-hot — the joint
-        one-hot over 16 folded rows is exactly their outer product."""
-        q16 = s0[:, None] + dr[:, None] + tri  # (N, 3) folded row ids
-        rq = jax.nn.one_hot(q16 // 8, patches.shape[1], dtype=patches.dtype)
-        rs8 = jax.nn.one_hot(q16 % 8, 8, dtype=patches.dtype)
-        ch = jax.nn.one_hot(jres[:, None] + dc[:, None] + tri, wcols,
-                            dtype=patches.dtype)
+        spatial block spans compact patch rows dr..dr+2 / cols dc..dc+2
+        (residuals pre-absorbed above), and the scale cube spans patch
+        layers layer-1..layer+1."""
+        rh = jax.nn.one_hot(dr[:, None] + tri, side, dtype=compact.dtype)
+        ch = jax.nn.one_hot(dc[:, None] + tri, side, dtype=compact.dtype)
         lh = jax.nn.one_hot(layer[:, None] - 1 + tri, n_total)  # (N, 3, L+2)
         t1 = jnp.einsum(
-            "nas,nqljs->naqlj", rs8, patches,
-            preferred_element_type=jnp.float32,
-        )
-        tmp = jnp.einsum(
-            "naq,naqlj->nalj", rq, t1, preferred_element_type=jnp.float32
+            "nai,nilk->nalk", rh, compact, preferred_element_type=jnp.float32
         )  # (N, 3, L+2, side): rows dr..dr+2 selected
         blk = jnp.einsum(
-            "nalj,nbj->nabl", tmp, ch, preferred_element_type=jnp.float32
+            "nalk,nbk->nabl", t1, ch, preferred_element_type=jnp.float32
         )  # (N, 3, 3, L+2)
         cube = jnp.einsum(
             "ndl,nabl->ndab", lh, blk, preferred_element_type=jnp.float32
