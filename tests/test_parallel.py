@@ -579,3 +579,33 @@ def test_encoder_inherits_cluster_mesh_from_extractor(dc_mesh, rng):
     v0 = enc0.encode(imgs)
     v1 = enc1.encode(imgs)
     np.testing.assert_allclose(v0, v1, rtol=1e-4, atol=1e-5)
+
+
+def test_pipeline_mixed_mesh_members_share_extractor(mesh, rng):
+    """One Pipeline member with an explicit mesh override, one without,
+    SHARING a single extractor instance, over a ragged non-divisible
+    batch: the shared feature pass plus each member's own pad/place
+    engine must reproduce the members run standalone."""
+    from pyvisim_tpu.encoders import FisherVectorEncoder, Pipeline, VLADEncoder
+    from pyvisim_tpu.features import SIFT
+
+    centers = KMeansCodebook(
+        centers=rng.normal(size=(8, 128)).astype(np.float32)
+    )
+    gmm = GmmCodebook(
+        weights=np.full((4,), 0.25, np.float32),
+        means=rng.normal(size=(4, 128)).astype(np.float32),
+        covariances=(0.5 + rng.random((4, 128))).astype(np.float32),
+    )
+    imgs = [
+        (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        for h, w in [(90, 100), (80, 112), (100, 90)]
+    ]
+    ext = SIFT(process_size=128, max_keypoints=64)
+    e1 = VLADEncoder(feature_extractor=ext, kmeans_model=centers)
+    e2 = FisherVectorEncoder(feature_extractor=ext, gmm_model=gmm)
+    e1.mesh = mesh  # explicit override on ONE member only
+    got = Pipeline([e1, e2]).encode(imgs)
+    want = np.hstack([e1.encode(imgs), e2.encode(imgs)])
+    assert got.shape == want.shape == (3, 8 * 128 + 2 * 4 * 128 + 4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
