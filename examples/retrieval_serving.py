@@ -49,6 +49,17 @@ def main():
         index.query(encoder, query, k=3)
     print(f"end-to-end query latency: {(time.perf_counter() - t0) / 10 * 1e3:.1f} ms")
 
+    # At gallery scale, screen the scan through a Johnson-Lindenstrauss
+    # projection and rescore only the top candidates exactly (~500x less
+    # scan traffic at 131k-D VLAD dims; recall tunable via rerank).
+    screened = RetrievalIndex(
+        vectors, [f"img_{i}" for i in range(12)],
+        quantize="int8", screen_dim=64, rerank=6,
+    )
+    results = screened.query(encoder, query, k=3)[0]
+    print("screened top-3:", [(p, round(s, 4)) for p, s in results])
+    assert results[0][0] == "img_3"
+
 
 if __name__ == "__main__":
     main()

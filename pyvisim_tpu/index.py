@@ -32,6 +32,20 @@ class RetrievalIndex:
     :param quantize: None (float32 gallery) or "int8" — symmetric per-row
         int8 quantization of the normalized gallery (4x HBM density; the
         query matmul runs on the int8 MXU path with per-row rescaling).
+    :param screen_dim: optional coarse-to-fine serving mode. The gallery
+        is additionally stored under a Johnson-Lindenstrauss random
+        projection to ``screen_dim`` dims (inner-product preserving, no
+        training); a query first scans the small screen gallery, keeps the
+        top ``rerank`` candidates, gathers ONLY their full-D rows and
+        rescores them exactly. For the 131,584-D VLAD/FV encodings the
+        scan stage reads ``D/screen_dim`` (~500x at 256) less HBM — the
+        TPU-native answer to IVF-style serving indexes (two matmuls + one
+        row gather instead of data-dependent cell probing, which XLA
+        cannot tile).
+    :param rerank: candidates rescored exactly per query in screen mode
+        (default ``max(4*k, 64)`` at query time). Recall@k against the
+        exact scan rises with ``rerank``; ``rerank >= len(index)`` is
+        bit-identical to the exact path.
     """
 
     def __init__(
@@ -41,6 +55,9 @@ class RetrievalIndex:
         labels: Sequence[int] | None = None,
         mesh=None,
         quantize: str | None = None,
+        screen_dim: int | None = None,
+        rerank: int | None = None,
+        _assume_normalized: bool = False,
     ):
         vectors = jnp.asarray(vectors, jnp.float32)
         if vectors.ndim != 2 or len(paths) != vectors.shape[0]:
@@ -50,8 +67,31 @@ class RetrievalIndex:
             )
         if quantize not in (None, "int8"):
             raise ValueError(f"Unknown quantize mode: {quantize!r}")
-        norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
-        vectors = vectors / jnp.where(norms == 0, 1.0, norms)
+        if rerank is not None and screen_dim is None:
+            raise ValueError("rerank= requires screen_dim=")
+        if screen_dim is not None and screen_dim >= vectors.shape[1]:
+            raise ValueError(
+                f"screen_dim={screen_dim} must be < vector dim "
+                f"{vectors.shape[1]} (screening only pays below full rank)"
+            )
+        if not _assume_normalized:
+            norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
+            vectors = vectors / jnp.where(norms == 0, 1.0, norms)
+
+        self.screen_dim = screen_dim
+        self.rerank = rerank
+        self._proj = None
+        screen = None
+        if screen_dim is not None:
+            # JL projection: fixed-seed Gaussian, scaled so projected
+            # inner products are unbiased estimates of the originals.
+            # Seed-fixed => regenerable from (D, screen_dim) alone, so
+            # save()/load() never persist it.
+            key = jax.random.PRNGKey(0)
+            self._proj = jax.random.normal(
+                key, (vectors.shape[1], screen_dim), jnp.float32
+            ) / np.sqrt(screen_dim)
+            screen = vectors @ self._proj
 
         scales = None
         if quantize == "int8":
@@ -66,18 +106,49 @@ class RetrievalIndex:
         self.paths = list(paths)
         self.labels = None if labels is None else np.asarray(labels)
         self.mesh = mesh
-        self._place(vectors, scales)
+        self._place(vectors, scales, screen)
 
         from functools import partial
+
+        def _exact_row_scores(qn, rows, row_scales):
+            """Exact cosine of each query against ITS OWN gathered
+            candidate rows: (Q, D) x (Q, R, D[int8]) -> (Q, R)."""
+            if rows.dtype == jnp.int8:
+                vals = rows.astype(jnp.float32) * row_scales
+            else:
+                vals = rows
+            return jnp.einsum(
+                "qd,qrd->qr", qn, vals, preferred_element_type=jnp.float32
+            )
 
         # The gallery is passed as a jit argument, not closed over — a
         # closed-over concrete array would be baked into the HLO as a
         # (potentially multi-GB) constant. The live row count ``n`` is a
         # traced argument so capacity padding (``add``) and sharding
         # padding share one mask and appends don't retrace.
-        @partial(jax.jit, static_argnames=("k",))
-        def _query_impl(q, gallery, scales, n, k):
+        @partial(jax.jit, static_argnames=("k", "r"))
+        def _query_impl(q, gallery, scales, screen_gal, proj, n, k, r):
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+            if r is not None:
+                # coarse-to-fine: scan the JL screen gallery, gather the
+                # top-r candidates' full rows, rescore exactly.
+                qs = qn @ proj
+                sims_s = jnp.dot(
+                    qs, screen_gal.T, preferred_element_type=jnp.float32
+                )
+                sims_s = jnp.where(
+                    jnp.arange(sims_s.shape[1]) < n, sims_s, -jnp.inf
+                )
+                _, cand = jax.lax.top_k(sims_s, r)  # (Q, r)
+                rows = jnp.take(gallery, cand, axis=0)  # (Q, r, D)
+                row_scales = (
+                    jnp.take(scales, cand, axis=0) if scales is not None
+                    else None
+                )
+                exact = _exact_row_scores(qn, rows, row_scales)
+                exact = jnp.where(cand < n, exact, -jnp.inf)
+                sc, pos = jax.lax.top_k(exact, k)
+                return sc, jnp.take_along_axis(cand, pos, axis=1)
             if gallery.dtype == jnp.int8:
                 # int8 MXU path: quantize the query symmetrically, dot in
                 # int32, rescale by both sides' scales.
@@ -91,15 +162,24 @@ class RetrievalIndex:
             sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
             return jax.lax.top_k(sims, k)
 
-        self._query = lambda q, k: _query_impl(
-            q, self.vectors, self.scales, self._n, k
-        )
+        def _query(q, k):
+            r = None
+            if self.screen_dim is not None:
+                r = self.rerank if self.rerank is not None else max(4 * k, 64)
+                r = max(min(r, self._n), k)
+            return _query_impl(
+                q, self.vectors, self.scales, self._screen, self._proj,
+                self._n, k, r,
+            )
 
-    def _place(self, vectors, scales):
-        """Pad the (n, D) normalized/quantized gallery to capacity and
-        (re-)place it on device. Capacity grows in powers of two so
-        ``add`` amortizes recompiles of the shape-specialized query; the
-        query masks rows >= the live count."""
+        self._query = _query
+
+    def _place(self, vectors, scales, screen=None):
+        """Pad the (n, D) normalized/quantized gallery (and the JL screen
+        gallery, when screening) to capacity and (re-)place it on device.
+        Capacity grows in powers of two so ``add`` amortizes recompiles of
+        the shape-specialized query; the query masks rows >= the live
+        count."""
         n = vectors.shape[0]
         cap = 1 << max(0, (max(n, 1) - 1).bit_length())
         if self.mesh is not None:
@@ -113,14 +193,22 @@ class RetrievalIndex:
                 scales = jnp.concatenate(
                     [scales, jnp.ones((cap - n, 1), scales.dtype)]
                 )
+            if screen is not None:
+                screen = jnp.concatenate(
+                    [screen, jnp.zeros((cap - n, screen.shape[1]),
+                                       screen.dtype)]
+                )
         if self.mesh is not None:
             from .parallel import data_sharding
 
             vectors = jax.device_put(vectors, data_sharding(self.mesh, 2))
             if scales is not None:
                 scales = jax.device_put(scales, data_sharding(self.mesh, 2))
+            if screen is not None:
+                screen = jax.device_put(screen, data_sharding(self.mesh, 2))
         self.vectors = vectors
         self.scales = scales
+        self._screen = screen
 
     def add(
         self,
@@ -150,6 +238,11 @@ class RetrievalIndex:
             )
         norms = jnp.linalg.norm(new, axis=1, keepdims=True)
         new = new / jnp.where(norms == 0, 1.0, norms)
+        merged_screen = None
+        if self.screen_dim is not None:
+            merged_screen = jnp.concatenate(
+                [self._screen[: self._n], new @ self._proj]
+            )
         new_scales = None
         if self.quantize == "int8":
             max_abs = jnp.maximum(
@@ -172,7 +265,7 @@ class RetrievalIndex:
             self.labels = np.concatenate(
                 [self.labels, np.asarray(labels)]
             )
-        self._place(merged, merged_scales)
+        self._place(merged, merged_scales, merged_screen)
 
     @classmethod
     def build(
@@ -182,9 +275,11 @@ class RetrievalIndex:
         labels: Sequence[int] | None = None,
         batch_size: int = 64,
         mesh=None,
+        **index_kwargs,
     ) -> "RetrievalIndex":
         """Encode a gallery from image files (decoded through the host IO
-        layer) into an index."""
+        layer) into an index. ``index_kwargs`` (``quantize``,
+        ``screen_dim``, ``rerank``) pass through to the constructor."""
         from .io import imread_rgb
 
         paths = list(image_paths)
@@ -194,11 +289,12 @@ class RetrievalIndex:
             chunks.append(np.asarray(encoder.encode(imgs)))
         vectors = np.vstack(chunks)
         logger.info("indexed %d images (%d-D)", len(paths), vectors.shape[1])
-        return cls(vectors, paths, labels, mesh=mesh)
+        return cls(vectors, paths, labels, mesh=mesh, **index_kwargs)
 
     @classmethod
     def from_encoding_map(
-        cls, encoding_map, labels=None, mesh=None, quantize=None
+        cls, encoding_map, labels=None, mesh=None, quantize=None,
+        screen_dim=None, rerank=None,
     ) -> "RetrievalIndex":
         """Adapter from the reference-style ``{path: vector}`` dict, or
         from the HDF5 path written by
@@ -206,7 +302,8 @@ class RetrievalIndex:
         from .eval import _gallery
 
         paths, vectors = _gallery(encoding_map)
-        return cls(vectors, paths, labels, mesh=mesh, quantize=quantize)
+        return cls(vectors, paths, labels, mesh=mesh, quantize=quantize,
+                   screen_dim=screen_dim, rerank=rerank)
 
     def __len__(self) -> int:
         return self._n
@@ -233,10 +330,17 @@ class RetrievalIndex:
 
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
-        """Persist vectors/paths/labels (and int8 scales) to .npz."""
+        """Persist vectors/paths/labels (and int8 scales) to .npz. Screen
+        mode stores only ``(screen_dim, rerank)`` — the seed-fixed JL
+        projection and the screen gallery are regenerated at load."""
         extra = {}
         if self.quantize == "int8":
             extra["scales"] = np.asarray(self.scales)[: self._n]
+        if self.screen_dim is not None:
+            extra["screen"] = np.array(
+                [self.screen_dim, self.rerank if self.rerank else 0],
+                np.int64,
+            )
         np.savez(
             path,
             vectors=np.asarray(self.vectors)[: self._n],
@@ -252,14 +356,25 @@ class RetrievalIndex:
         with np.load(path, allow_pickle=False) as data:
             labels = data["labels"] if data["labels"].size else None
             vectors = data["vectors"]
+            kw = {}
+            if "screen" in data:
+                kw["screen_dim"] = int(data["screen"][0])
+                kw["rerank"] = int(data["screen"][1]) or None
             if vectors.dtype == np.int8:
-                # rebuild the float gallery, then requantize (cheap, exact
-                # round trip since rows were already normalized)
+                # Rebuild the float gallery, then requantize. The max
+                # element of each row quantized to exactly +-127, so
+                # max_abs(dequant) = 127*scale and requantization
+                # reproduces the saved codes/scales EXACTLY — but only if
+                # the dequantized rows are NOT re-normalized first (their
+                # norm is 1 +- quantization error; renormalizing would
+                # perturb every value and flip rounded codes).
                 vectors = vectors.astype(np.float32) * data["scales"]
                 return cls(
                     vectors, [str(p) for p in data["paths"]], labels,
-                    mesh=mesh, quantize="int8",
+                    mesh=mesh, quantize="int8", _assume_normalized=True,
+                    **kw,
                 )
             return cls(
-                vectors, [str(p) for p in data["paths"]], labels, mesh=mesh
+                vectors, [str(p) for p in data["paths"]], labels, mesh=mesh,
+                **kw,
             )

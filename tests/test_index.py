@@ -175,3 +175,74 @@ def test_sharded_index_add_matches_unsharded(index_setup, rng):
     np.testing.assert_array_equal(
         idx.query_vectors(q, 5)[1], plain.query_vectors(q, 5)[1]
     )
+
+
+# -- coarse-to-fine screening (JL projection + exact re-rank) ---------------
+
+def test_screened_full_rerank_matches_exact(index_setup, rng):
+    """rerank >= n rescans every row exactly, so indices must match the
+    exact path bit-for-bit (scores are the same einsum math)."""
+    vecs, paths, labels = index_setup
+    exact = RetrievalIndex(vecs, paths, labels)
+    scr = RetrievalIndex(vecs, paths, labels, screen_dim=8, rerank=64)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    s0, i0 = exact.query_vectors(q, k=4)
+    s1, i1 = scr.query_vectors(q, k=4)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5, atol=1e-6)
+
+
+def test_screened_recall_on_clustered_gallery(rng):
+    """Tight screening (rerank << n) must still recover the true top-1 on
+    a clustered gallery — queries are near-duplicates of gallery rows."""
+    base = rng.normal(size=(40, 4, 64)).astype(np.float32)  # 40 clusters
+    gal = (base + 0.05 * rng.normal(size=base.shape)).reshape(160, 64)
+    gal = gal.astype(np.float32)
+    paths = [f"p{i}" for i in range(160)]
+    idx = RetrievalIndex(gal, paths, screen_dim=16, rerank=8)
+    q = gal[::4] + 0.01 * rng.normal(size=(40, 64)).astype(np.float32)
+    _, top = idx.query_vectors(q, k=1)
+    hits = np.mean(top[:, 0] // 4 == np.arange(40))
+    assert hits >= 0.9, hits
+
+
+def test_screened_add_save_load_and_int8(index_setup, tmp_path, rng):
+    """Screen mode composes with int8 + streaming add + persistence; the
+    JL projection is seed-fixed so load() regenerates it."""
+    vecs, paths, labels = index_setup
+    idx = RetrievalIndex(vecs[:20], paths[:20], labels[:20],
+                         quantize="int8", screen_dim=8, rerank=30)
+    idx.add(vecs[20:], paths[20:], labels[20:])
+    q = rng.normal(size=(3, 16)).astype(np.float32)
+    s0, i0 = idx.query_vectors(q, k=5)
+    p = str(tmp_path / "scr.npz")
+    idx.save(p)
+    idx2 = RetrievalIndex.load(p)
+    assert idx2.screen_dim == 8 and idx2.rerank == 30
+    s1, i1 = idx2.query_vectors(q, k=5)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, rtol=1e-4, atol=1e-5)
+    # rerank covers every live row here, so int8-screened == int8-exact
+    plain = RetrievalIndex(vecs, paths, labels, quantize="int8")
+    np.testing.assert_array_equal(plain.query_vectors(q, k=5)[1], i0)
+
+
+def test_screened_rejects_bad_config(index_setup):
+    vecs, paths, labels = index_setup
+    with pytest.raises(ValueError, match="screen_dim"):
+        RetrievalIndex(vecs, paths, rerank=8)
+    with pytest.raises(ValueError, match="screen_dim"):
+        RetrievalIndex(vecs, paths, screen_dim=16)  # >= vector dim
+
+
+def test_screened_sharded_matches_unsharded(index_setup, rng):
+    from pyvisim_tpu.parallel import make_mesh
+
+    vecs, paths, _ = index_setup
+    mesh = make_mesh(8, axis_names=("data",))
+    a = RetrievalIndex(vecs, paths, screen_dim=8, rerank=12)
+    b = RetrievalIndex(vecs, paths, mesh=mesh, screen_dim=8, rerank=12)
+    q = rng.normal(size=(4, 16)).astype(np.float32)
+    np.testing.assert_array_equal(
+        a.query_vectors(q, 3)[1], b.query_vectors(q, 3)[1]
+    )
