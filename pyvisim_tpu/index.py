@@ -22,6 +22,33 @@ logger = get_logger("index")
 __all__ = ["RetrievalIndex"]
 
 
+@jax.jit
+def _normalize_rows(x):
+    norms = jnp.linalg.norm(x, axis=1, keepdims=True)
+    return x / jnp.where(norms == 0, 1.0, norms)
+
+
+@jax.jit
+def _quantize_rows(x):
+    max_abs = jnp.maximum(jnp.max(jnp.abs(x), axis=1, keepdims=True), 1e-12)
+    scales = max_abs / 127.0
+    return jnp.clip(jnp.round(x / scales), -127, 127).astype(jnp.int8), scales
+
+
+def _append_rows_impl(buf, new, offset):
+    return jax.lax.dynamic_update_slice(buf, new.astype(buf.dtype),
+                                        (offset, 0))
+
+
+# In-place append into the capacity-padded gallery buffer. Donating the
+# buffer lets XLA update it without a second copy, so a streaming ``add``
+# within capacity holds ONE gallery-sized buffer plus the new rows —
+# the slice+concat+repad formulation held ~4 gallery copies at once and
+# RESOURCE_EXHAUSTED on multi-GB galleries. The row offset is a traced
+# scalar: appends at different fill levels reuse one compiled program.
+_append_rows = jax.jit(_append_rows_impl, donate_argnums=(0,))
+
+
 class RetrievalIndex:
     """Normalized gallery matrix + paths/labels with a jitted top-k query.
 
@@ -45,7 +72,14 @@ class RetrievalIndex:
     :param rerank: candidates rescored exactly per query in screen mode
         (default ``max(4*k, 64)`` at query time). Recall@k against the
         exact scan rises with ``rerank``; ``rerank >= len(index)`` is
-        bit-identical to the exact path.
+        bit-identical to the exact path. Sizing guidance (measured,
+        docs/PERF.md "Serving-index modes"): the re-rank row gather
+        moves bytes ~15x slower than the exact scan's streaming matmul,
+        so screening wins when ``Q * rerank`` is well under ``n / 15``
+        — the single-query / large-gallery serving regime (6.6x vs the
+        exact f32 scan at n=6,149, Q=1, rerank=64); for large query
+        batches or ``rerank`` a sizable fraction of ``n``, prefer the
+        exact (or int8) scan.
     """
 
     def __init__(
@@ -75,8 +109,7 @@ class RetrievalIndex:
                 f"{vectors.shape[1]} (screening only pays below full rank)"
             )
         if not _assume_normalized:
-            norms = jnp.linalg.norm(vectors, axis=1, keepdims=True)
-            vectors = vectors / jnp.where(norms == 0, 1.0, norms)
+            vectors = _normalize_rows(vectors)
 
         self.screen_dim = screen_dim
         self.rerank = rerank
@@ -95,11 +128,7 @@ class RetrievalIndex:
 
         scales = None
         if quantize == "int8":
-            max_abs = jnp.maximum(jnp.max(jnp.abs(vectors), axis=1, keepdims=True), 1e-12)
-            scales = max_abs / 127.0  # dequant factor per row
-            vectors = jnp.clip(
-                jnp.round(vectors / scales), -127, 127
-            ).astype(jnp.int8)
+            vectors, scales = _quantize_rows(vectors)
 
         self._n = vectors.shape[0]
         self.quantize = quantize
@@ -109,6 +138,25 @@ class RetrievalIndex:
         self._place(vectors, scales, screen)
 
         from functools import partial
+
+        def _gather_rows(gallery, cand):
+            """(Q, r) row gather as an unrolled dynamic-slice scan.
+
+            XLA's native gather moves these wide rows at ~2.5 GB/s on
+            TPU (measured 13 ms for 64 x 526 KB rows of the 131,584-D
+            gallery); a scan of per-row DMA slices with unroll=4 runs
+            the same gather in 0.47 ms (27x) — each unrolled iteration
+            issues an independent row DMA the scheduler can overlap.
+            """
+            flat = cand.reshape(-1)
+
+            def body(carry, i):
+                return carry, jax.lax.dynamic_slice_in_dim(
+                    gallery, i, 1, axis=0
+                )[0]
+
+            _, rows = jax.lax.scan(body, None, flat, unroll=4)
+            return rows.reshape(cand.shape + (gallery.shape[1],))
 
         def _exact_row_scores(qn, rows, row_scales):
             """Exact cosine of each query against ITS OWN gathered
@@ -128,6 +176,20 @@ class RetrievalIndex:
         # padding share one mask and appends don't retrace.
         @partial(jax.jit, static_argnames=("k", "r"))
         def _query_impl(q, gallery, scales, screen_gal, proj, n, k, r):
+            # MXU row padding: a (Q<8, D) x (D, N) scan over a large f32
+            # gallery under-fills the 8-sublane MXU tile and reads the
+            # gallery ~1.8x slower (measured 4.25 -> 2.4 ms/scan at Q=1
+            # vs Q=8 on 6149 x 131584 f32). Pad tiny query batches to 8
+            # rows INSIDE the jit (shapes are static here; doing it
+            # eagerly costs ~3 extra ~1 ms relay dispatches) — only
+            # where the full f32 gallery is scanned: the int8 scan and
+            # the screened paths don't pay the cliff, and padding would
+            # 8x the screened gather traffic.
+            q0 = q.shape[0]
+            if r is None and gallery.dtype != jnp.int8 and q0 < 8:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((8 - q0, q.shape[1]), q.dtype)]
+                )
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             if r is not None:
                 # coarse-to-fine: scan the JL screen gallery, gather the
@@ -140,7 +202,7 @@ class RetrievalIndex:
                     jnp.arange(sims_s.shape[1]) < n, sims_s, -jnp.inf
                 )
                 _, cand = jax.lax.top_k(sims_s, r)  # (Q, r)
-                rows = jnp.take(gallery, cand, axis=0)  # (Q, r, D)
+                rows = _gather_rows(gallery, cand)  # (Q, r, D)
                 row_scales = (
                     jnp.take(scales, cand, axis=0) if scales is not None
                     else None
@@ -160,34 +222,18 @@ class RetrievalIndex:
             else:
                 sims = jnp.dot(qn, gallery.T, preferred_element_type=jnp.float32)
             sims = jnp.where(jnp.arange(sims.shape[1]) < n, sims, -jnp.inf)
-            return jax.lax.top_k(sims, k)
+            sc, ix = jax.lax.top_k(sims, k)
+            return sc[:q0], ix[:q0]
 
         def _query(q, k):
             r = None
             if self.screen_dim is not None:
                 r = self.rerank if self.rerank is not None else max(4 * k, 64)
                 r = max(min(r, self._n), k)
-            # MXU row padding: a (Q<8, D) x (D, N) scan over a large f32
-            # gallery under-fills the 8-sublane MXU tile and reads the
-            # gallery ~1.8x slower (measured 4.25 -> 2.4 ms/scan, i.e.
-            # 762 -> ~1300 GB/s apparent, at Q=1 vs Q=8 on 6149 x 131584
-            # f32). Pad tiny query batches to 8 rows and slice back —
-            # only where the full f32 gallery is scanned (the int8 scan
-            # and the screened paths don't pay the cliff, and padding
-            # would 8x the screened gather traffic).
-            pad = 0
-            if r is None and self.quantize != "int8" and q.shape[0] < 8:
-                pad = 8 - q.shape[0]
-                q = jnp.concatenate(
-                    [q, jnp.zeros((pad, q.shape[1]), q.dtype)]
-                )
-            sc, idx = _query_impl(
+            return _query_impl(
                 q, self.vectors, self.scales, self._screen, self._proj,
                 self._n, k, r,
             )
-            if pad:
-                sc, idx = sc[:-pad], idx[:-pad]
-            return sc, idx
 
         self._query = _query
 
@@ -237,11 +283,13 @@ class RetrievalIndex:
 
         New rows are L2-normalized (and int8-quantized in quantize="int8"
         mode — existing rows keep their original codes/scales) and
-        concatenated ON DEVICE; capacity grows in powers of two so the
-        shape-specialized query only recompiles at doublings. The
-        reference has no serving index at all, so this is TPU-native
-        surplus surface (anchor: its per-query rescoring loop,
-        pyvisim/eval.py:13-46).
+        written ON DEVICE. Within capacity the rows are appended in
+        place (``dynamic_update_slice`` with the buffer donated — one
+        gallery-sized buffer alive, so multi-GB galleries stream without
+        exhausting HBM); capacity grows in powers of two so copies and
+        query recompiles happen only at doublings. The reference has no
+        serving index at all, so this is TPU-native surplus surface
+        (anchor: its per-query rescoring loop, pyvisim/eval.py:13-46).
         """
         new = jnp.asarray(vectors, jnp.float32)
         if new.ndim != 2 or new.shape[0] != len(paths):
@@ -253,35 +301,36 @@ class RetrievalIndex:
             raise ValueError(
                 "labels must be provided iff the index was built with labels"
             )
-        norms = jnp.linalg.norm(new, axis=1, keepdims=True)
-        new = new / jnp.where(norms == 0, 1.0, norms)
-        merged_screen = None
+        new = _normalize_rows(new)
+        new_screen = None
         if self.screen_dim is not None:
-            merged_screen = jnp.concatenate(
-                [self._screen[: self._n], new @ self._proj]
-            )
+            new_screen = new @ self._proj
         new_scales = None
         if self.quantize == "int8":
-            max_abs = jnp.maximum(
-                jnp.max(jnp.abs(new), axis=1, keepdims=True), 1e-12
-            )
-            new_scales = max_abs / 127.0
-            new = jnp.clip(
-                jnp.round(new / new_scales), -127, 127
-            ).astype(jnp.int8)
-        live = self.vectors[: self._n]
-        merged = jnp.concatenate([live, new])
-        merged_scales = None
-        if self.quantize == "int8":
-            merged_scales = jnp.concatenate(
-                [self.scales[: self._n], new_scales]
-            )
-        self._n = merged.shape[0]
+            new, new_scales = _quantize_rows(new)
+        n0 = self._n
+        total = n0 + new.shape[0]
         self.paths.extend(paths)
         if labels is not None:
             self.labels = np.concatenate(
                 [self.labels, np.asarray(labels)]
             )
+        self._n = total
+        if total <= self.vectors.shape[0]:
+            # fits in capacity: in-place donated append, no copies
+            self.vectors = _append_rows(self.vectors, new, n0)
+            if new_scales is not None:
+                self.scales = _append_rows(self.scales, new_scales, n0)
+            if new_screen is not None:
+                self._screen = _append_rows(self._screen, new_screen, n0)
+            return
+        merged = jnp.concatenate([self.vectors[:n0], new])
+        merged_scales = None
+        if self.quantize == "int8":
+            merged_scales = jnp.concatenate([self.scales[:n0], new_scales])
+        merged_screen = None
+        if self.screen_dim is not None:
+            merged_screen = jnp.concatenate([self._screen[:n0], new_screen])
         self._place(merged, merged_scales, merged_screen)
 
     @classmethod
