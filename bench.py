@@ -230,10 +230,69 @@ def latency_main() -> None:
     )
 
 
+def serving_qps_main() -> None:
+    """Sustained query throughput of the production serving path:
+    ``RetrievalIndex(screen_dim=256, rerank=64)`` over the BASELINE-shaped
+    6,149 x 131,584 gallery. Queries queue back-to-back behind the
+    in-order dispatch stream with ONE final scalar fetch, so the number
+    is device+dispatch throughput with the relay RTT amortized — the
+    steady-state QPS a serving loop sustains (per-query wall latency on
+    this relay adds the ~30 ms RTT; see PYVISIM_BENCH_METRIC=latency).
+    Per-mode numbers: docs/PERF.md "Serving-index modes"."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.index import RetrievalIndex
+
+    n, d = 6149, 256 * 514
+    gallery = jax.jit(
+        lambda key: jax.random.normal(key, (n, d), jnp.float32)
+    )(jax.random.PRNGKey(0))
+    gallery = jax.jit(
+        lambda g: g / jnp.linalg.norm(g, axis=1, keepdims=True)
+    )(gallery)
+    idx = RetrievalIndex(
+        gallery, [str(i) for i in range(n)], screen_dim=256, rerank=64,
+        _assume_normalized=True,
+    )
+    q = jax.jit(
+        lambda g, key: (
+            lambda v: v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        )(0.8 * g[:1] + 0.6 * jax.random.normal(key, (1, d), jnp.float32)
+          / jnp.sqrt(d))
+    )(gallery, jax.random.PRNGKey(1))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "100"))
+    sc, _ = idx._query(q, 5)
+    float(sc.sum())  # compile + drain
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(steps):
+        out, _ = idx._query(q, 5)
+    float(out.sum())  # one fetch drains the in-order queue
+    qps = steps / (time.perf_counter() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "screened_index_query_throughput",
+                "value": round(qps, 1),
+                "unit": "queries/sec",
+                # reference rescored per query in host numpy (eval.py:13-46);
+                # no comparable published figure exists
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def main() -> None:
     metric = os.environ.get("PYVISIM_BENCH_METRIC", "throughput")
     if metric == "latency":
         latency_main()
+        return
+    if metric == "serving_qps":
+        serving_qps_main()
         return
     if metric == "sift":
         sift_main()
