@@ -80,6 +80,12 @@ class RetrievalIndex:
         exact f32 scan at n=6,149, Q=1, rerank=64); for large query
         batches or ``rerank`` a sizable fraction of ``n``, prefer the
         exact (or int8) scan.
+    :param auto_exact: (default True) queries on a screened index route
+        to the exact full scan whenever ``Q * rerank * 15 >= n`` — past
+        that measured crossover the exact scan is FASTER, and it is
+        never lower recall (the screened path's only error mode is
+        missing candidates the exact scan scores). Set False to force
+        the screened kernel regardless of shape (benchmarks, tests).
     """
 
     def __init__(
@@ -91,6 +97,7 @@ class RetrievalIndex:
         quantize: str | None = None,
         screen_dim: int | None = None,
         rerank: int | None = None,
+        auto_exact: bool = True,
         _assume_normalized: bool = False,
     ):
         vectors = jnp.asarray(vectors, jnp.float32)
@@ -113,6 +120,7 @@ class RetrievalIndex:
 
         self.screen_dim = screen_dim
         self.rerank = rerank
+        self.auto_exact = auto_exact
         self._proj = None
         screen = None
         if screen_dim is not None:
@@ -230,6 +238,14 @@ class RetrievalIndex:
             if self.screen_dim is not None:
                 r = self.rerank if self.rerank is not None else max(4 * k, 64)
                 r = max(min(r, self._n), k)
+                # Measured crossover (docs/PERF.md "Serving-index
+                # modes"): the re-rank row gather moves bytes ~15x
+                # slower than the exact scan's streaming matmul, so
+                # past Q*r*15 >= n the exact scan is faster — and it is
+                # never lower recall (screening's only error mode is
+                # missing candidates the full scan scores). Route there.
+                if self.auto_exact and q.shape[0] * r * 15 >= self._n:
+                    r = None
             return _query_impl(
                 q, self.vectors, self.scales, self._screen, self._proj,
                 self._n, k, r,
@@ -360,7 +376,7 @@ class RetrievalIndex:
     @classmethod
     def from_encoding_map(
         cls, encoding_map, labels=None, mesh=None, quantize=None,
-        screen_dim=None, rerank=None,
+        screen_dim=None, rerank=None, auto_exact=True,
     ) -> "RetrievalIndex":
         """Adapter from the reference-style ``{path: vector}`` dict, or
         from the HDF5 path written by
@@ -369,7 +385,8 @@ class RetrievalIndex:
 
         paths, vectors = _gallery(encoding_map)
         return cls(vectors, paths, labels, mesh=mesh, quantize=quantize,
-                   screen_dim=screen_dim, rerank=rerank)
+                   screen_dim=screen_dim, rerank=rerank,
+                   auto_exact=auto_exact)
 
     def __len__(self) -> int:
         return self._n
@@ -397,14 +414,16 @@ class RetrievalIndex:
     # -- persistence --------------------------------------------------------
     def save(self, path: str) -> None:
         """Persist vectors/paths/labels (and int8 scales) to .npz. Screen
-        mode stores only ``(screen_dim, rerank)`` — the seed-fixed JL
-        projection and the screen gallery are regenerated at load."""
+        mode stores only ``(screen_dim, rerank, auto_exact)`` — the
+        seed-fixed JL projection and the screen gallery are regenerated
+        at load."""
         extra = {}
         if self.quantize == "int8":
             extra["scales"] = np.asarray(self.scales)[: self._n]
         if self.screen_dim is not None:
             extra["screen"] = np.array(
-                [self.screen_dim, self.rerank if self.rerank else 0],
+                [self.screen_dim, self.rerank if self.rerank else 0,
+                 int(self.auto_exact)],
                 np.int64,
             )
         np.savez(
@@ -426,6 +445,8 @@ class RetrievalIndex:
             if "screen" in data:
                 kw["screen_dim"] = int(data["screen"][0])
                 kw["rerank"] = int(data["screen"][1]) or None
+                if data["screen"].size > 2:  # older files lack the flag
+                    kw["auto_exact"] = bool(data["screen"][2])
             if vectors.dtype == np.int8:
                 # Rebuild the float gallery, then requantize. The max
                 # element of each row quantized to exactly +-127, so

@@ -184,7 +184,8 @@ def test_screened_full_rerank_matches_exact(index_setup, rng):
     exact path bit-for-bit (scores are the same einsum math)."""
     vecs, paths, labels = index_setup
     exact = RetrievalIndex(vecs, paths, labels)
-    scr = RetrievalIndex(vecs, paths, labels, screen_dim=8, rerank=64)
+    scr = RetrievalIndex(vecs, paths, labels, screen_dim=8, rerank=64,
+                         auto_exact=False)  # pin the screened kernel
     q = rng.normal(size=(5, 16)).astype(np.float32)
     s0, i0 = exact.query_vectors(q, k=4)
     s1, i1 = scr.query_vectors(q, k=4)
@@ -199,7 +200,8 @@ def test_screened_recall_on_clustered_gallery(rng):
     gal = (base + 0.05 * rng.normal(size=base.shape)).reshape(160, 64)
     gal = gal.astype(np.float32)
     paths = [f"p{i}" for i in range(160)]
-    idx = RetrievalIndex(gal, paths, screen_dim=16, rerank=8)
+    idx = RetrievalIndex(gal, paths, screen_dim=16, rerank=8,
+                         auto_exact=False)  # pin the screened kernel
     q = gal[::4] + 0.01 * rng.normal(size=(40, 64)).astype(np.float32)
     _, top = idx.query_vectors(q, k=1)
     hits = np.mean(top[:, 0] // 4 == np.arange(40))
@@ -211,7 +213,8 @@ def test_screened_add_save_load_and_int8(index_setup, tmp_path, rng):
     JL projection is seed-fixed so load() regenerates it."""
     vecs, paths, labels = index_setup
     idx = RetrievalIndex(vecs[:20], paths[:20], labels[:20],
-                         quantize="int8", screen_dim=8, rerank=30)
+                         quantize="int8", screen_dim=8, rerank=30,
+                         auto_exact=False)  # pin the screened kernel
     idx.add(vecs[20:], paths[20:], labels[20:])
     q = rng.normal(size=(3, 16)).astype(np.float32)
     s0, i0 = idx.query_vectors(q, k=5)
@@ -240,8 +243,10 @@ def test_screened_sharded_matches_unsharded(index_setup, rng):
 
     vecs, paths, _ = index_setup
     mesh = make_mesh(8, axis_names=("data",))
-    a = RetrievalIndex(vecs, paths, screen_dim=8, rerank=12)
-    b = RetrievalIndex(vecs, paths, mesh=mesh, screen_dim=8, rerank=12)
+    a = RetrievalIndex(vecs, paths, screen_dim=8, rerank=12,
+                       auto_exact=False)
+    b = RetrievalIndex(vecs, paths, mesh=mesh, screen_dim=8, rerank=12,
+                       auto_exact=False)
     q = rng.normal(size=(4, 16)).astype(np.float32)
     np.testing.assert_array_equal(
         a.query_vectors(q, 3)[1], b.query_vectors(q, 3)[1]
