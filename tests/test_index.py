@@ -230,6 +230,37 @@ def test_screened_add_save_load_and_int8(index_setup, tmp_path, rng):
     np.testing.assert_array_equal(plain.query_vectors(q, k=5)[1], i0)
 
 
+def test_auto_exact_routes_big_batches_to_the_exact_scan(rng):
+    """Default auto_exact routing: once Q*rerank*15 >= n the screened
+    index answers with the exact full scan (bit-identical indices AND
+    scores), while small-Q queries still take the screened kernel."""
+    gal = rng.normal(size=(2048, 32)).astype(np.float32)
+    paths = [f"p{i}" for i in range(2048)]
+    exact = RetrievalIndex(gal, paths)
+    auto = RetrievalIndex(gal, paths, screen_dim=4, rerank=8)   # default on
+    pinned = RetrievalIndex(gal, paths, screen_dim=4, rerank=8,
+                            auto_exact=False)
+
+    # Big batch: 64 * 8 * 15 = 7680 >= 2048 -> exact route.
+    qb = rng.normal(size=(64, 32)).astype(np.float32)
+    sa, ia = auto.query_vectors(qb, k=5)
+    se, ie = exact.query_vectors(qb, k=5)
+    np.testing.assert_array_equal(ia, ie)
+    np.testing.assert_allclose(sa, se, rtol=1e-6, atol=1e-7)
+    # Sanity: the routing mattered — the pinned aggressive screen (4-dim
+    # JL, rerank 8) visibly disagrees with exact on a random gallery.
+    _, ip = pinned.query_vectors(qb, k=5)
+    assert not np.array_equal(ip, ie)
+
+    # Small batch: 1 * 8 * 15 = 120 < 2048 -> stays on the screened
+    # kernel (matches the pinned index exactly).
+    q1 = rng.normal(size=(1, 32)).astype(np.float32)
+    s_auto, i_auto = auto.query_vectors(q1, k=5)
+    s_pin, i_pin = pinned.query_vectors(q1, k=5)
+    np.testing.assert_array_equal(i_auto, i_pin)
+    np.testing.assert_allclose(s_auto, s_pin, rtol=1e-6, atol=1e-7)
+
+
 def test_screened_rejects_bad_config(index_setup):
     vecs, paths, labels = index_setup
     with pytest.raises(ValueError, match="screen_dim"):
