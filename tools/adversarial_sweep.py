@@ -1,0 +1,287 @@
+"""Adversarial combination sweep: unusual-but-legal public-API combos.
+
+Runs each combo on the 8-device virtual CPU mesh and reports PASS/FAIL —
+a bug-hunting harness, not a test file (crashes found here graduate into
+tests/). Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python tools/adversarial_sweep.py
+"""
+import os
+import sys
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from pyvisim_tpu.encoders import (
+    FisherVectorEncoder,
+    Pipeline,
+    VLADEncoder,
+)
+from pyvisim_tpu.features import SIFT, DeepConvFeature, Lambda, RootSIFT
+from pyvisim_tpu.ops import GmmCodebook, KMeansCodebook, PcaProjector
+from pyvisim_tpu.parallel import make_mesh
+
+RNG = np.random.default_rng(0)
+RESULTS = []
+
+
+def combo(name):
+    def deco(fn):
+        RESULTS.append((name, fn))
+        return fn
+
+    return deco
+
+
+def imgs(n, h=72, w=96):
+    return RNG.integers(0, 255, size=(n, h, w, 3), dtype=np.uint8).astype(
+        np.uint8
+    )
+
+
+def km(k=8, d=128):
+    c = RNG.normal(size=(k, d)).astype(np.float32)
+    return KMeansCodebook(centers=c)
+
+
+def gmm(k=8, d=128):
+    w = np.full((k,), 1.0 / k, np.float32)
+    m = RNG.normal(size=(k, d)).astype(np.float32)
+    v = np.ones((k, d), np.float32)
+    return GmmCodebook(weights=w, means=m, covariances=v)
+
+
+def pca(d_in=128, d_out=32):
+    comp = RNG.normal(size=(d_out, d_in)).astype(np.float32)
+    mean = RNG.normal(size=(d_in,)).astype(np.float32)
+    return PcaProjector(mean=mean, components=comp)
+
+
+DC_MESH = make_mesh(8, axis_names=("data", "cluster"), shape=(2, 4))
+D_MESH = make_mesh(8, axis_names=("data",))
+
+
+@combo("pipeline + cluster mesh + non-divisible batch")
+def _(n=5):
+    ext = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    out = Pipeline([enc]).encode(imgs(n))
+    assert out.shape[0] == n, out.shape
+
+
+@combo("cluster mesh + PCA (VLAD) equals replicated")
+def _():
+    cb, pj, batch = km(d=32), pca(), imgs(3)
+    ext = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=cb, pca=pj)
+    ref = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=cb,
+        pca=pj,
+    )
+    a = enc.encode(batch)
+    b = ref.encode(batch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@combo("cluster mesh + PCA (FV) equals replicated (non-divisible batch)")
+def _():
+    gb, pj, batch = gmm(d=32), pca(), imgs(5)
+    ext = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    enc = FisherVectorEncoder(feature_extractor=ext, gmm_model=gb, pca=pj)
+    ref = FisherVectorEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        gmm_model=gb,
+        pca=pj,
+    )
+    a = enc.encode(batch)
+    b = ref.encode(batch)
+    assert a.shape[0] == 5 and np.all(np.isfinite(a))
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@combo("blank images (zero descriptors) through cluster-sharded encode")
+def _():
+    ext = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    blank = np.zeros((3, 72, 96, 3), np.uint8)
+    out = enc.encode(blank)
+    assert np.all(np.isfinite(out))
+
+
+@combo("Lambda extractor + data mesh encoder")
+def _():
+    def fn(image):
+        return RNG.normal(size=(17, 16)).astype(np.float32)
+
+    enc = VLADEncoder(
+        feature_extractor=Lambda(fn, output_dim=16), kmeans_model=km(d=16)
+    )
+    out = enc.encode(imgs(3))
+    assert out.shape[0] == 3
+
+
+@combo("learn() with mesh-aware extractor")
+def _():
+    ext = SIFT(mesh=D_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext)
+    enc.learn(list(imgs(6)), n_clusters=4)
+    out = enc.encode(imgs(2))
+    assert out.shape[0] == 2
+
+
+@combo("similarity_score single 3-D images, mesh encoder")
+def _():
+    ext = SIFT(mesh=D_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    s = enc.similarity_score(imgs(1)[0], imgs(1)[0])
+    assert np.isfinite(np.asarray(s)).all()
+
+
+@combo("setter change after first encode (jit cache key)")
+def _():
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+    )
+    a = enc.encode(imgs(2))
+    enc.power_norm_weight = 0.5
+    b = enc.encode(imgs(2))
+    assert not np.allclose(a, b), "power norm change must retrace"
+    enc.norm_order = 1.0
+    c = enc.encode(imgs(2))
+    assert not np.allclose(b, c), "norm order change must retrace"
+
+
+@combo("flatten=False through Pipeline (must restore)")
+def _():
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+        flatten=False,
+    )
+    p = Pipeline([enc])
+    out = p.encode(imgs(2))
+    assert out.ndim == 2
+    assert enc.flatten is False, "Pipeline must restore flatten"
+    # reference parity: unflattened encode np.vstack's per-image (K, D)
+    solo = enc.encode(imgs(2))
+    assert solo.shape == (2 * 8, 128), solo.shape
+
+
+@combo("Pipeline.generate_encoding_map -> HDF5 -> RetrievalIndex")
+def _():
+    import tempfile
+
+    import cv2
+
+    from pyvisim_tpu.index import RetrievalIndex
+
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+    )
+    p = Pipeline([enc])
+    with tempfile.TemporaryDirectory() as d:
+        jpgs = []
+        for i, im in enumerate(imgs(4)):
+            path = os.path.join(d, f"{i}.jpg")
+            cv2.imwrite(path, im)
+            jpgs.append(path)
+        h5 = os.path.join(d, "map.h5")
+        p.generate_encoding_map(jpgs, save_path=h5)
+        idx = RetrievalIndex.from_encoding_map(h5)
+        assert len(idx) == 4
+
+
+@combo("DeepConvFeature mesh + FV + PCA, ragged non-divisible batch")
+def _():
+    ext = DeepConvFeature(mesh=D_MESH)
+    d = ext.output_dim
+    enc = FisherVectorEncoder(
+        feature_extractor=ext,
+        gmm_model=gmm(d=32),
+        pca=pca(d_in=d, d_out=32),
+    )
+    ragged = [imgs(1, 64, 80)[0], imgs(1, 96, 64)[0], imgs(1, 72, 72)[0]]
+    out = enc.encode(ragged)
+    assert out.shape[0] == 3 and np.all(np.isfinite(out))
+
+
+@combo("encoder mesh inheritance then extractor mesh mutated")
+def _():
+    batch = imgs(2)
+    ext = SIFT(mesh=D_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    a = enc.encode(batch)
+    ext.mesh = None  # user detaches the mesh afterwards
+    b = enc.encode(batch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@combo("cluster mesh VLAD equals replicated (non-divisible batch)")
+def _():
+    cb, batch = km(), imgs(5)
+    ext_m = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    ext_0 = SIFT(max_keypoints=64, process_size=128)
+    a = VLADEncoder(feature_extractor=ext_m, kmeans_model=cb).encode(batch)
+    b = VLADEncoder(feature_extractor=ext_0, kmeans_model=cb).encode(batch)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+@combo("generate_encoding_map on mesh encoder with odd gallery size")
+def _():
+    import tempfile
+
+    import cv2
+
+    ext = SIFT(mesh=D_MESH, max_keypoints=64, process_size=128)
+    enc = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    with tempfile.TemporaryDirectory() as d:
+        jpgs = []
+        for i, im in enumerate(imgs(7)):
+            path = os.path.join(d, f"{i}.jpg")
+            cv2.imwrite(path, im)
+            jpgs.append(path)
+        m = enc.generate_encoding_map(jpgs)
+        assert len(m) == 7
+
+
+@combo("torch CHW input rejected cleanly")
+def _():
+    import torch
+
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+    )
+    try:
+        enc.encode(torch.rand(3, 64, 64))
+    except Exception as e:  # noqa: BLE001 - any *clean* error is fine
+        assert "image" in str(e).lower() or "numpy" in str(e).lower(), e
+
+
+if __name__ == "__main__":
+    failures = 0
+    for name, fn in RESULTS:
+        try:
+            fn()
+            print(f"PASS  {name}")
+        except Exception:
+            failures += 1
+            print(f"FAIL  {name}")
+            traceback.print_exc()
+    print(f"\n{len(RESULTS) - failures}/{len(RESULTS)} combos pass")
+    raise SystemExit(1 if failures else 0)
