@@ -273,9 +273,188 @@ def _():
         assert "image" in str(e).lower() or "numpy" in str(e).lower(), e
 
 
+# -- part 2: Siamese / eval / checkpoint / training corners -----------------
+
+
+def _siamese():
+    import optax
+
+    from pyvisim_tpu.encoders.siamese import SiameseEncoder
+    from pyvisim_tpu.models.siamese import SiameseEmbedder, create_train_state
+
+    model = SiameseEmbedder(cfg_name="vgg11", embed_dim=16, trunk_convs=2)
+    state = create_train_state(
+        model, optax.adamw(1e-3), image_size=64, seed=0
+    )
+    return SiameseEncoder(model, state.params, image_size=64), model, state
+
+
+@combo("siamese: embedding independent of batchmates' shapes")
+def _():
+    enc, _, _ = _siamese()
+    a = imgs(1, 60, 60)[0]
+    uniform = enc.encode([a, a.copy()])
+    ragged = enc.encode([a, imgs(1, 90, 40)[0]])
+    np.testing.assert_allclose(uniform[0], ragged[0], rtol=2e-4, atol=2e-5)
+    single = enc.encode(a)
+    np.testing.assert_allclose(uniform[0], single[0], rtol=2e-4, atol=2e-5)
+
+
+@combo("siamese -> encoding map -> RetrievalIndex -> eval.top_k_map")
+def _():
+    import tempfile
+
+    import cv2
+
+    from pyvisim_tpu.eval import top_k_accuracy, top_k_map
+    from pyvisim_tpu.index import RetrievalIndex
+
+    enc, _, _ = _siamese()
+    with tempfile.TemporaryDirectory() as d:
+        jpgs = []
+        for i, im in enumerate(imgs(6, 64, 64)):
+            path = os.path.join(d, f"{i}.jpg")
+            cv2.imwrite(path, im)
+            jpgs.append(path)
+        emap = enc.generate_encoding_map(jpgs)
+        idx = RetrievalIndex.from_encoding_map(emap)
+        assert len(idx) == 6
+        queries = [imgs(1, 64, 64)[0] for _ in range(2)]
+        labels = [0, 1]
+        gal_labels = {p: i % 2 for i, p in enumerate(jpgs)}
+        m = top_k_map(queries, labels, emap, gal_labels, enc, k=3)
+        acc = top_k_accuracy(queries, labels, emap, gal_labels, enc, k=3)
+        assert 0.0 <= float(m) <= 1.0 and 0.0 <= float(acc) <= 1.0
+
+
+@combo("sharded train -> checkpoint roundtrip -> SiameseEncoder parity")
+def _():
+    import tempfile
+
+    import optax
+
+    from pyvisim_tpu.checkpoint import restore_train_state, save_train_state
+    from pyvisim_tpu.encoders.siamese import SiameseEncoder
+    from pyvisim_tpu.models.siamese import create_train_state
+    from pyvisim_tpu.parallel.train import make_sharded_trainer
+
+    mesh = make_mesh(8, axis_names=("data", "model"), shape=(4, 2))
+    model, state, step = make_sharded_trainer(
+        mesh, cfg_name="vgg11", embed_dim=16, trunk_convs=2,
+        image_size=32, loss="nt_xent",
+    )
+    x = np.clip(
+        RNG.normal(size=(8, 32, 32, 3)).astype(np.float32) * 0.25 + 0.5, 0, 1
+    )
+    y = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    state, _ = step(state, x, y)
+    template = create_train_state(model, optax.adamw(1e-3), image_size=32)
+    with tempfile.TemporaryDirectory() as d:
+        save_train_state(d, state)
+        restored = restore_train_state(d, template)
+    a = SiameseEncoder(model, jax.device_get(state.params), image_size=32)
+    b = SiameseEncoder(model, jax.device_get(restored.params), image_size=32)
+    batch = imgs(3, 32, 32)
+    np.testing.assert_allclose(
+        a.encode(batch), b.encode(batch), rtol=2e-4, atol=2e-5
+    )
+
+
+@combo("learn() FV with pca factor on mesh extractor")
+def _():
+    ext = SIFT(mesh=D_MESH, max_keypoints=64, process_size=128)
+    enc = FisherVectorEncoder(feature_extractor=ext)
+    enc.learn(list(imgs(6)), n_clusters=4, dim_reduction_factor=4)
+    out = enc.encode(imgs(3))
+    assert out.shape[0] == 3 and np.all(np.isfinite(out))
+
+
+@combo("image query through screened int8 index (encoder compose)")
+def _():
+    from pyvisim_tpu.index import RetrievalIndex
+
+    cb = km()
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=cb,
+    )
+    gal = imgs(40)
+    vecs = enc.encode(gal)
+    idx = RetrievalIndex(
+        vecs, [f"g{i}" for i in range(40)], quantize="int8",
+        screen_dim=64, rerank=8, auto_exact=False,
+    )
+    res = idx.query(enc, gal[3], k=3)
+    assert res[0][0][0] == "g3", res[0][:2]  # self-match must rank first
+
+
+@combo("custom similarity_func with bad signature falls back")
+def _():
+    def bad(a, b):
+        return float(np.dot(a.ravel()[:4], b.ravel()[:4]))  # scalar, wrong
+
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+        similarity_func=bad,
+    )
+    batch = imgs(2)
+    s = enc.similarity_score(batch[0], batch[1])
+    assert np.isfinite(np.asarray(s, dtype=np.float32)).all()
+
+
+@combo("two encoders share ONE extractor through Pipeline on cluster mesh")
+def _():
+    ext = SIFT(mesh=DC_MESH, max_keypoints=64, process_size=128)
+    v = VLADEncoder(feature_extractor=ext, kmeans_model=km())
+    f = FisherVectorEncoder(feature_extractor=ext, gmm_model=gmm())
+    batch = imgs(5)
+    out = Pipeline([v, f]).encode(batch)
+    solo = np.hstack([v.encode(batch), f.encode(batch)])
+    np.testing.assert_allclose(out, solo, rtol=2e-4, atol=2e-5)
+
+
+@combo("tiny 8x8 images through SIFT and deep encoders")
+def _():
+    tiny = imgs(2, 8, 8)
+    enc = VLADEncoder(
+        feature_extractor=SIFT(max_keypoints=64, process_size=128),
+        kmeans_model=km(),
+    )
+    out = enc.encode(tiny)
+    assert np.all(np.isfinite(out))
+    ext = DeepConvFeature()
+    enc2 = FisherVectorEncoder(
+        feature_extractor=ext,
+        gmm_model=gmm(d=ext.output_dim),
+    )
+    out2 = enc2.encode(tiny)
+    assert np.all(np.isfinite(out2))
+
+
+@combo("hdf5 encoding-map roundtrip through _utils persistence")
+def _():
+    import tempfile
+
+    from pyvisim_tpu._utils import load_hdf5, save_to_hdf5
+
+    m = {
+        "a.jpg": RNG.normal(size=(16,)).astype(np.float32),
+        "nested": {"b": np.int64(3), "c": "text", "d": [1.0, 2.0]},
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.h5")
+        save_to_hdf5(p, m)
+        back = load_hdf5(p)
+    np.testing.assert_allclose(back["a.jpg"], m["a.jpg"])
+    assert int(back["nested"]["b"]) == 3
+
+
 if __name__ == "__main__":
+    only = sys.argv[1] if len(sys.argv) > 1 else ""
+    selected = [(n, f) for n, f in RESULTS if only in n]
     failures = 0
-    for name, fn in RESULTS:
+    for name, fn in selected:
         try:
             fn()
             print(f"PASS  {name}")
@@ -283,5 +462,5 @@ if __name__ == "__main__":
             failures += 1
             print(f"FAIL  {name}")
             traceback.print_exc()
-    print(f"\n{len(RESULTS) - failures}/{len(RESULTS)} combos pass")
+    print(f"\n{len(selected) - failures}/{len(selected)} combos pass")
     raise SystemExit(1 if failures else 0)
