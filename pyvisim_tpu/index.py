@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ._config import get_logger
+from .ops.similarity import pad_rows_for_mxu
 
 logger = get_logger("index")
 
@@ -184,20 +185,15 @@ class RetrievalIndex:
         # padding share one mask and appends don't retrace.
         @partial(jax.jit, static_argnames=("k", "r"))
         def _query_impl(q, gallery, scales, screen_gal, proj, n, k, r):
-            # MXU row padding: a (Q<8, D) x (D, N) scan over a large f32
-            # gallery under-fills the 8-sublane MXU tile and reads the
-            # gallery ~1.8x slower (measured 4.25 -> 2.4 ms/scan at Q=1
-            # vs Q=8 on 6149 x 131584 f32). Pad tiny query batches to 8
-            # rows INSIDE the jit (shapes are static here; doing it
-            # eagerly costs ~3 extra ~1 ms relay dispatches) — only
-            # where the full f32 gallery is scanned: the int8 scan and
-            # the screened paths don't pay the cliff, and padding would
-            # 8x the screened gather traffic.
+            # MXU row padding (ops.similarity.pad_rows_for_mxu), INSIDE
+            # the jit (shapes are static here; doing it eagerly costs ~3
+            # extra ~1 ms relay dispatches) — only where the full f32
+            # gallery is scanned: the int8 scan and the screened paths
+            # don't pay the tile-under-fill cliff, and padding would 8x
+            # the screened gather traffic.
             q0 = q.shape[0]
-            if r is None and gallery.dtype != jnp.int8 and q0 < 8:
-                q = jnp.concatenate(
-                    [q, jnp.zeros((8 - q0, q.shape[1]), q.dtype)]
-                )
+            if r is None and gallery.dtype != jnp.int8:
+                q, q0 = pad_rows_for_mxu(q)
             qn = q / jnp.maximum(jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
             if r is not None:
                 # coarse-to-fine: scan the JL screen gallery, gather the
@@ -313,6 +309,13 @@ class RetrievalIndex:
                 f"vectors must be (N, D) with N == len(paths); got "
                 f"{new.shape} and {len(paths)} paths"
             )
+        if new.shape[1] != self.vectors.shape[1]:
+            # dynamic_update_slice would legally accept a NARROWER update
+            # and silently write corrupted partial rows — reject up front
+            raise ValueError(
+                f"vectors must match the index feature dim "
+                f"{self.vectors.shape[1]}; got {new.shape[1]}"
+            )
         if (self.labels is None) != (labels is None):
             raise ValueError(
                 "labels must be provided iff the index was built with labels"
@@ -326,12 +329,9 @@ class RetrievalIndex:
             new, new_scales = _quantize_rows(new)
         n0 = self._n
         total = n0 + new.shape[0]
-        self.paths.extend(paths)
-        if labels is not None:
-            self.labels = np.concatenate(
-                [self.labels, np.asarray(labels)]
-            )
-        self._n = total
+        # Device state first, host bookkeeping (paths/labels/_n) last: a
+        # failure below must not leave the index with _n ahead of the
+        # actually-appended rows (index->path mapping would skew).
         if total <= self.vectors.shape[0]:
             # fits in capacity: in-place donated append, no copies
             self.vectors = _append_rows(self.vectors, new, n0)
@@ -339,15 +339,23 @@ class RetrievalIndex:
                 self.scales = _append_rows(self.scales, new_scales, n0)
             if new_screen is not None:
                 self._screen = _append_rows(self._screen, new_screen, n0)
-            return
-        merged = jnp.concatenate([self.vectors[:n0], new])
-        merged_scales = None
-        if self.quantize == "int8":
-            merged_scales = jnp.concatenate([self.scales[:n0], new_scales])
-        merged_screen = None
-        if self.screen_dim is not None:
-            merged_screen = jnp.concatenate([self._screen[:n0], new_screen])
-        self._place(merged, merged_scales, merged_screen)
+        else:
+            merged = jnp.concatenate([self.vectors[:n0], new])
+            merged_scales = None
+            if self.quantize == "int8":
+                merged_scales = jnp.concatenate(
+                    [self.scales[:n0], new_scales]
+                )
+            merged_screen = None
+            if self.screen_dim is not None:
+                merged_screen = jnp.concatenate(
+                    [self._screen[:n0], new_screen]
+                )
+            self._place(merged, merged_scales, merged_screen)
+        self.paths.extend(paths)
+        if labels is not None:
+            self.labels = np.concatenate([self.labels, np.asarray(labels)])
+        self._n = total
 
     @classmethod
     def build(

@@ -249,8 +249,17 @@ def _fold_dog(dog, cfg: SiftConfig):
     # right col pad 28: the Pallas gather reads 16-col-aligned 32-col
     # windows, which reach up to 31 cols past a right-edge candidate.
     lpad = (-n_total) % 8
+    # Right col pad must cover the Pallas refine window: the DMA reads
+    # lw/8 cols from a 16-col-aligned start at or before the candidate,
+    # so a right-edge candidate can reach lw/8 - 1 cols past itself —
+    # reach+1+24 alone under-covers that for refine_reach >= 7 (48-col
+    # windows) and for octave widths where the aligned start lands on
+    # the candidate column.
+    side = 2 * reach + 3
+    lw_cols = (-(-(side + 16) * 8 // 128) * 128) // 8
+    rpad = max(reach + 1 + 24, lw_cols - 1)
     dogp = jnp.pad(dog, ((0, lpad), (reach + 1, rows_pad - h - reach - 1),
-                         (reach + 1, reach + 1 + 24)))
+                         (reach + 1, rpad)))
     n_total = n_total + lpad
     wp = dogp.shape[2]
     dogp = dogp.astype(jnp.dtype(cfg.refine_dtype))
@@ -1389,9 +1398,6 @@ def sift_descriptors(
             out["desc"] = _apply_root_sift(out["desc"]) * out["mask"][..., None]
         return out
 
-    def _materialize(out) -> dict:
-        return _materialize_wire(out, root_sift)
-
     if b <= device_batch:
         return run_chunk(letterbox_chunk(0))
     if device:
@@ -1418,21 +1424,36 @@ def sift_descriptors(
             for k in chunk_outs[0]
             if k in want
         }
-    # Multi-chunk galleries run as a two-deep host/device pipeline: while
-    # the device computes chunk i-1, the host letterboxes chunk i and
-    # dispatches it behind the in-order queue; chunk i-1 is then fetched
-    # (np.asarray drains up to its completion). Host preprocessing and
-    # device compute overlap, and at most TWO chunks of outputs (~1 MB of
-    # descriptors per image) are device-resident at any time — an
-    # unbounded gallery still cannot pin HBM (round-2 invariant kept).
+    return _pipeline_wire_chunks(
+        lambda i: run_chunk(letterbox_chunk(i), wire=True),
+        range(0, b, device_batch),
+        root_sift,
+    )
+
+
+def _pipeline_wire_chunks(dispatch_chunk, starts, root_sift: bool) -> dict:
+    """Two-deep host/device wire pipeline over gallery chunks: while the
+    device computes chunk i-1, the host letterboxes chunk i and
+    dispatches it behind the in-order queue; chunk i-1 is then fetched
+    (np.asarray drains up to its completion). Host preprocessing and
+    device compute overlap, and at most TWO chunks of outputs (~1 MB of
+    descriptors per image) are device-resident at any time — an
+    unbounded gallery still cannot pin HBM (round-2 invariant). The ONE
+    implementation behind ``sift_descriptors`` and the mesh path
+    (``parallel.sharded.sharded_sift_batch``); outputs accumulate
+    host-side as f32 and concatenate per plane.
+
+    ``dispatch_chunk(start)`` must upload + dispatch the chunk at
+    ``start`` and return DEVICE wire arrays (``_pack_wire`` format).
+    """
     outs: list[dict] = []
     pending = None
-    for i in range(0, b, device_batch):
-        cur = run_chunk(letterbox_chunk(i), wire=True)
+    for s in starts:
+        cur = dispatch_chunk(s)
         if pending is not None:
-            outs.append(_materialize(pending))
+            outs.append(_materialize_wire(pending, root_sift))
         pending = cur
-    outs.append(_materialize(pending))
+    outs.append(_materialize_wire(pending, root_sift))
     return {k: np.concatenate([o[k] for o in outs], axis=0) for k in outs[0]}
 
 

@@ -10,7 +10,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["cosine_similarity_matrix", "pairwise_euclidean"]
+__all__ = ["cosine_similarity_matrix", "pairwise_euclidean",
+           "pad_rows_for_mxu"]
+
+
+def pad_rows_for_mxu(x: jnp.ndarray, min_rows: int = 8):
+    """Zero-pad a tiny row set to ``min_rows`` so a (rows, D) x (D, N)
+    gallery scan fills the 8-sublane MXU tile; returns ``(padded, n0)``
+    with ``n0`` the original row count to slice back. Measured on a
+    6,149 x 131,584 f32 gallery: 4.25 -> 2.4 ms/scan at 1 row vs 8
+    (the tile under-fill reads the gallery ~1.8x slower). Shared by
+    :func:`cosine_similarity_matrix` and the serving index's exact f32
+    scan (``pyvisim_tpu.index``) so the tile heuristic is tuned in ONE
+    place."""
+    n = x.shape[0]
+    if n >= min_rows:
+        return x, n
+    pad = jnp.zeros((min_rows - n,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad]), n
 
 
 def _l2_normalize_rows(x: jnp.ndarray) -> jnp.ndarray:
@@ -34,13 +51,9 @@ def cosine_similarity_matrix(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     so tiny row sets are zero-padded to 8 rows for the matmul and sliced
     back — zero rows stay zero under the normalize and cost nothing.
     """
-    n = x.shape[0]
     xn = _l2_normalize_rows(x.astype(jnp.float32))
     yn = _l2_normalize_rows(y.astype(jnp.float32))
-    if n < 8:
-        xn = jnp.concatenate(
-            [xn, jnp.zeros((8 - n, xn.shape[1]), xn.dtype)]
-        )
+    xn, n = pad_rows_for_mxu(xn)
     out = jnp.dot(xn, yn.T, preferred_element_type=jnp.float32)
     return out[:n]
 

@@ -161,22 +161,17 @@ def sharded_sift_batch(grays, mesh: Mesh, cfg=None, root_sift: bool = False):
         return out
 
     if len(grays) > cap:
-        # Two-deep host/device pipeline with uint8 downlink, mirroring
-        # sift_descriptors: accumulate chunk outputs HOST-side (~1 MB of
-        # f32 descriptors per image on-device would reintroduce the HBM
-        # growth the cap exists to prevent).
-        outs = []
-        pending = None
-        for i in range(0, len(grays), cap):
-            cur = run_chunk(grays[i : i + cap], wire=True)
-            if pending is not None:
-                outs.append(sift_ops._materialize_wire(pending, root_sift))
-            pending = cur
-        outs.append(sift_ops._materialize_wire(pending, root_sift))
-        return (
-            np.concatenate([o["desc"] for o in outs], axis=0),
-            np.concatenate([o["mask"] for o in outs], axis=0),
+        # Two-deep host/device pipeline with uint8 downlink — the SAME
+        # engine as sift_descriptors (ops.sift._pipeline_wire_chunks):
+        # chunk outputs accumulate HOST-side (~1 MB of f32 descriptors
+        # per image on-device would reintroduce the HBM growth the cap
+        # exists to prevent).
+        out = sift_ops._pipeline_wire_chunks(
+            lambda i: run_chunk(grays[i : i + cap], wire=True),
+            range(0, len(grays), cap),
+            root_sift,
         )
+        return out["desc"], out["mask"]
     out = run_chunk(grays, wire=False)
     desc, mask = out["desc"], out["mask"]
     if root_sift:

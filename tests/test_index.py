@@ -230,6 +230,25 @@ def test_screened_add_save_load_and_int8(index_setup, tmp_path, rng):
     np.testing.assert_array_equal(plain.query_vectors(q, k=5)[1], i0)
 
 
+def test_add_rejects_dim_mismatch_and_stays_consistent(index_setup, rng):
+    """add() with the wrong feature dim must raise BEFORE mutating any
+    state — dynamic_update_slice would legally accept a narrower update
+    and silently write corrupted partial rows, and a post-mutation error
+    would leave _n ahead of the device rows (index->path skew)."""
+    vecs, paths, labels = index_setup
+    idx = RetrievalIndex(vecs[:20], paths[:20], labels[:20])
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    s0, i0 = idx.query_vectors(q, k=3)
+    bad = rng.normal(size=(4, 8)).astype(np.float32)  # D=8 != 16
+    with pytest.raises(ValueError, match="feature dim"):
+        idx.add(bad, [f"bad{i}" for i in range(4)],
+                labels=np.zeros(4, np.int64))
+    assert len(idx) == 20 and len(idx.paths) == 20
+    s1, i1 = idx.query_vectors(q, k=3)
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1)
+
+
 def test_auto_exact_routes_big_batches_to_the_exact_scan(rng):
     """Default auto_exact routing: once Q*rerank*15 >= n the screened
     index answers with the exact full scan (bit-identical indices AND

@@ -274,8 +274,11 @@ def test_encoder_device_resident_descriptor_handoff():
     np.testing.assert_array_equal(v_dev, v_wire)
 
 
-@pytest.mark.parametrize("ps", [32, 96, 200])
+@pytest.mark.parametrize("ps", [32, 96, 200, 222])
 def test_fold_geometry_odd_process_sizes(ps):
+    # ps=222 makes the top octave width == 14 (mod 16): the 16-col-aligned
+    # Pallas refine window can then start ON a right-edge candidate column,
+    # the worst case for the fold's right pad (regression guard)
     """The row-folded atlas/DoG layouts must hold (and the Pallas window
     kernels must match XLA exactly) at process sizes whose octave dims
     are not multiples of 8 — exercises every rounding path in the fold
@@ -295,3 +298,35 @@ def test_fold_geometry_odd_process_sizes(ps):
         np.asarray(ox["mask"]), np.asarray(op["mask"]))
     np.testing.assert_allclose(
         np.asarray(ox["desc"]), np.asarray(op["desc"]), atol=1.0)
+
+
+@pytest.mark.parametrize("reach", [5, 7])
+def test_custom_refine_reach_backend_parity(reach):
+    """refine_reach >= 7 grows the Pallas refine window to 48 cols; the
+    folded DoG's right pad must cover the 16-col-aligned DMA (it reads
+    up to lw/8 - 1 cols past a right-edge candidate — regression guard
+    for the under-padded reach+25 bound). Gate: XLA and Pallas paths
+    agree exactly through the full core."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.ops import sift as S
+
+    rng_np = np.random.default_rng(3)
+    img = (rng_np.random((150, 170)) * 255).astype(np.uint8)
+    base = jnp.asarray(S._letterbox(img, 128))[None]
+    kw = dict(process_size=128, max_keypoints=128, ori_chunk=32,
+              desc_chunk=16, pallas_chunk=32, refine_reach=reach)
+    ox = S._sift_core(base, S.SiftConfig(patch_backend="xla", **kw))
+    op = S._sift_core(base, S.SiftConfig(patch_backend="pallas", **kw))
+    np.testing.assert_array_equal(
+        np.asarray(ox["mask"]), np.asarray(op["mask"]))
+    assert float(np.asarray(ox["mask"]).sum()) > 10
+    np.testing.assert_allclose(
+        np.asarray(ox["desc"]), np.asarray(op["desc"]), atol=1.0)
+    # the fold's right col pad covers the Pallas window bound
+    side = 2 * reach + 3
+    lw_cols = (-(-(side + 16) * 8 // 128) * 128) // 8
+    folded = S._fold_dog(
+        jnp.zeros((7, 40, 48), jnp.float32), S.SiftConfig(**kw))
+    wp = folded.shape[-1] // 8
+    assert wp >= 48 + (reach + 1) + lw_cols - 1

@@ -200,6 +200,7 @@ def main() -> None:
     del idx8
 
     scr = RetrievalIndex(gallery, paths, screen_dim=256, rerank=64,
+                         auto_exact=False,  # measure the SCREENED kernel
                          _assume_normalized=True)
     report("screen256_rerank64", scr, exact_idx8)
     scr.rerank = 256
@@ -207,7 +208,8 @@ def main() -> None:
     del scr
 
     scr8 = RetrievalIndex(gallery, paths, quantize="int8", screen_dim=256,
-                          rerank=64, _assume_normalized=True)
+                          rerank=64, auto_exact=False,
+                          _assume_normalized=True)
     report("int8_screen256_rerank64", scr8, exact_idx8)
     del scr8
 
