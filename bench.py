@@ -232,13 +232,15 @@ def latency_main() -> None:
 
 def serving_qps_main() -> None:
     """Sustained query throughput of the production serving path:
-    ``RetrievalIndex(screen_dim=256, rerank=64)`` over the BASELINE-shaped
-    6,149 x 131,584 gallery. Queries queue back-to-back behind the
-    in-order dispatch stream with ONE final scalar fetch, so the number
-    is device+dispatch throughput with the relay RTT amortized — the
-    steady-state QPS a serving loop sustains (per-query wall latency on
-    this relay adds the ~30 ms RTT; see PYVISIM_BENCH_METRIC=latency).
-    Per-mode numbers: docs/PERF.md "Serving-index modes"."""
+    ``RetrievalIndex(quantize="int8", screen_dim=256, rerank=64)`` over
+    the BASELINE-shaped 6,149 x 131,584 gallery — the round-3k measured
+    winner (fastest at Q=1 and Q=8 among screened modes AND 4x gallery
+    density; docs/PERF.md "Serving-index modes"). Queries queue
+    back-to-back behind the in-order dispatch stream with ONE final
+    scalar fetch, so the number is device+dispatch throughput with the
+    relay RTT amortized — the steady-state QPS a serving loop sustains
+    (per-query wall latency on this relay adds the ~30 ms RTT; see
+    PYVISIM_BENCH_METRIC=latency)."""
     import time
 
     import jax
@@ -254,8 +256,8 @@ def serving_qps_main() -> None:
         lambda g: g / jnp.linalg.norm(g, axis=1, keepdims=True)
     )(gallery)
     idx = RetrievalIndex(
-        gallery, [str(i) for i in range(n)], screen_dim=256, rerank=64,
-        _assume_normalized=True,
+        gallery, [str(i) for i in range(n)], quantize="int8",
+        screen_dim=256, rerank=64, _assume_normalized=True,
     )
     q = jax.jit(
         lambda g, key: (
