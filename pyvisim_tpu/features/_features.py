@@ -396,6 +396,34 @@ class DeepConvFeature(FeatureExtractorBase):
         return [(i, f"conv{i}", c) for i, c in enumerate(chans)]
 
     @property
+    def model(self):
+        """The Flax trunk module (parity: reference _features.py:218-225,
+        where ``.model`` is the hooked torch backbone)."""
+        return self._model
+
+    @model.setter
+    def model(self, value):
+        """Swap the backbone after construction. Flax separates parameters
+        from module structure, so assign a ``(module, params)`` pair —
+        the TPU-native analog of the reference's setter taking one
+        stateful torch module. Rewires geometry probes, output_dim, and
+        the jit caches exactly like constructing with ``module=``."""
+        if not (isinstance(value, tuple) and len(value) == 2):
+            raise ValueError(
+                "Assign model = (flax_module, params): Flax modules are "
+                "stateless, so the swapped backbone travels with its "
+                "params (reference parity: _features.py:222-225)."
+            )
+        module, params = value
+        self.__init__(
+            cfg_name=self.cfg_name, params=params,
+            layer_index=self.layer_index,
+            spatial_encoding=self.spatial_encoding,
+            image_size=self.image_size, transform=self.transform,
+            dtype=self.dtype, module=module, mesh=self.mesh,
+        )
+
+    @property
     def output_dim(self) -> int:
         return self._output_dim
 
