@@ -137,6 +137,49 @@ def test_tpu_stack_matches_opencv_stack(
     assert tpu_map >= cv_map - 0.05, f"tpu {tpu_map} vs cv {cv_map}"
 
 
+def _run_reference_stack(mini_dataset, encoder_name):
+    """End-to-end run of the LIVE reference implementation: reference
+    RootSIFT (cv2), reference learn/encode, reference eval — no code from
+    pyvisim_tpu on this side (VERDICT r3 task 1d)."""
+    import _reference_oracle
+
+    ref = _reference_oracle.load_reference()
+    import pyvisim.eval as ref_eval
+
+    gallery_paths, gallery_labels, queries, query_labels = mini_dataset
+    enc_cls = getattr(ref.encoders, encoder_name)
+    enc = enc_cls()
+    train_imgs = [
+        cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in gallery_paths
+    ]
+    enc.learn(train_imgs, n_clusters=16)
+    emap = enc.generate_encoding_map(gallery_paths)
+    top1 = ref_eval.top_k_accuracy(
+        queries, query_labels, emap, gallery_labels, enc, k=1
+    )
+    m = ref_eval.top_k_map(queries, query_labels, emap, gallery_labels, enc, k=5)
+    return top1, m
+
+
+@pytest.mark.parametrize("encoder_cls", [VLADEncoder, FisherVectorEncoder])
+def test_tpu_stack_matches_live_reference_stack(
+    tpu_cache, mini_dataset, encoder_cls
+):
+    """The strongest quality gate available in a zero-egress image: the
+    actual reference package runs end to end (its own SIFT, vocabulary
+    training, encoding and eval) and our TPU stack must retrieve at least
+    as well minus 0.05 on the identical mini-dataset."""
+    import _reference_oracle
+
+    if not _reference_oracle.reference_available():
+        pytest.skip("reference package not mounted")
+    ref_top1, ref_map = _run_reference_stack(mini_dataset, encoder_cls.__name__)
+    tpu_top1, tpu_map = run_stack(tpu_cache, mini_dataset, encoder_cls)
+    assert ref_top1 > 0.5, f"reference stack failed sanity: top1={ref_top1}"
+    assert tpu_top1 >= ref_top1 - 0.05, f"tpu {tpu_top1} vs ref {ref_top1}"
+    assert tpu_map >= ref_map - 0.05, f"tpu {tpu_map} vs ref {ref_map}"
+
+
 # ---------------------------------------------------------------------------
 # Deep family: torch trunk (reference stack) vs Flax trunk, same weights
 # ---------------------------------------------------------------------------
