@@ -74,8 +74,8 @@ def cosine_similarity(x, y) -> np.ndarray:
     y = y.reshape(1, -1) if y.ndim == 1 else y
     if x.shape[-1] <= 1 or y.shape[-1] <= 1:
         raise ValueError(
-            f"Cosine similarity requires at least 2 features. Got {x.shape[-1]} "
-            f"features for x and {y.shape[-1]} features for y."
+            "cosine_similarity needs vectors with >= 2 features; received "
+            f"feature dims x={x.shape[-1]}, y={y.shape[-1]}."
         )
     return np.asarray(cosine_similarity_matrix(x, y))
 
@@ -721,9 +721,8 @@ def gaussian_blur(image, kernel_size: int | None = None, sigma: float = 1.0):
     max_k = 2 * int(5 * sigma) + 1
     if not min_k <= kernel_size <= max_k:
         raise ValueError(
-            "Kernel radius must be between 2 * 3-5 times the standard deviation "
-            f"plus one. In this case, it should be between {min_k} and {max_k} "
-            f"Got kernel size: {kernel_size}"
+            f"gaussian_blur kernel_size={kernel_size} is outside the supported "
+            f"window [{min_k}, {max_k}] (i.e. 2*(3..5)*sigma + 1 for sigma={sigma})."
         )
     from .ops.gaussian import gaussian_blur as _blur
 

@@ -39,54 +39,64 @@ def check_desired_output(
     vecs1: np.ndarray,
     vecs2: np.ndarray,
 ) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
-    """Probe a user similarity function with two matrices; degrade to a
-    row-pair fallback loop if it does not return an (N, M) ndarray.
+    """Decide whether ``similarity_func`` can batch over row matrices.
 
-    Mirrors reference _base_encoder.py:23-71.
+    The callable is probed once with ``(vecs1, vecs2)``. It is kept as-is
+    only when the probe yields an ndarray compatible with the matrix
+    contract — shape ``(len(vecs1), len(vecs2))`` for 2-D output, or a
+    single element for lower-rank output. Anything else (an exception, a
+    non-array result, a mismatched shape) downgrades it to a row-pair
+    adapter so the encoder API can always rely on matrix-in/matrix-out
+    semantics.
+
+    Same observable contract as reference _base_encoder.py:23-97;
+    original implementation.
     """
+    why = _probe_batch_support(similarity_func, vecs1, vecs2)
+    if why is None:
+        return similarity_func
+    warnings.warn(f"{why} — wrapping the similarity function in a row-pair loop.")
+    return _rowwise_adapter(similarity_func)
+
+
+def _probe_batch_support(
+    similarity_func: Callable[[np.ndarray, np.ndarray], Any],
+    vecs1: np.ndarray,
+    vecs2: np.ndarray,
+) -> Optional[str]:
+    """Run one batched probe; return None if OK, else a reason string."""
     try:
-        out = similarity_func(vecs1, vecs2)
-    except Exception as e:  # noqa: BLE001 - mirror reference behavior
-        warnings.warn(
-            f"Similarity function threw an error: {e}. Falling back to row-wise loop."
-        )
-        return _make_fallback_func(similarity_func)
-
-    out = np.asarray(out) if isinstance(out, jnp.ndarray) else out
-    if not isinstance(out, np.ndarray):
-        warnings.warn(f"Expected a NumPy array, got {type(out)}. Using fallback method.")
-        return _make_fallback_func(similarity_func)
-
-    shape_ok = True
-    if out.ndim == 2:
-        if out.shape[0] != vecs1.shape[0] or out.shape[1] != vecs2.shape[0]:
-            shape_ok = False
-    elif out.ndim == 1 and out.size != 1:
-        shape_ok = False
-    if not shape_ok:
-        warnings.warn(
-            f"Output shape {out.shape} is not the expected (N, M). Expected output "
-            f"shape to be ({vecs1.shape[0]}, {vecs2.shape[0]}). Using fallback."
-        )
-        return _make_fallback_func(similarity_func)
-    return similarity_func
+        probe = similarity_func(vecs1, vecs2)
+    except Exception as exc:  # noqa: BLE001 - any failure means "can't batch"
+        return f"Similarity probe raised {type(exc).__name__}: {exc}"
+    if isinstance(probe, jnp.ndarray):
+        probe = np.asarray(probe)
+    if not isinstance(probe, np.ndarray):
+        return f"Similarity probe returned {type(probe).__name__}, not an ndarray"
+    want = (vecs1.shape[0], vecs2.shape[0])
+    if probe.ndim == 2 and probe.shape != want:
+        return f"Similarity probe returned shape {probe.shape}; expected {want}"
+    if probe.ndim == 1 and probe.size != 1:
+        return f"Similarity probe returned a length-{probe.size} vector; expected {want}"
+    return None
 
 
-def _make_fallback_func(
+def _rowwise_adapter(
     sim_func: Callable[[np.ndarray, np.ndarray], Any]
 ) -> Callable[[np.ndarray, np.ndarray], np.ndarray]:
-    """Row-by-row wrapper for non-batch similarity functions
-    (mirrors reference _base_encoder.py:74-97)."""
+    """Adapt a pairwise-only similarity callable to the (N, D) x (M, D) ->
+    (N, M) matrix contract by evaluating one row pair at a time."""
 
-    def fallback(vecs1: np.ndarray, vecs2: np.ndarray) -> np.ndarray:
+    def adapted(vecs1: np.ndarray, vecs2: np.ndarray) -> np.ndarray:
         n, m = vecs1.shape[0], vecs2.shape[0]
-        out = np.zeros((n, m), dtype=np.float32)
-        for i in range(n):
-            for j in range(m):
-                out[i, j] = sim_func(vecs1[i : i + 1], vecs2[j : j + 1])
-        return out
+        pairs = (
+            float(sim_func(vecs1[i, None], vecs2[j, None]))
+            for i in range(n)
+            for j in range(m)
+        )
+        return np.fromiter(pairs, dtype=np.float32, count=n * m).reshape(n, m)
 
-    return fallback
+    return adapted
 
 
 def _tupleize_first_arg(func: Callable) -> Callable:

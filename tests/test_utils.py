@@ -11,7 +11,7 @@ def test_cosine_similarity_shapes(rng):
     y = rng.normal(size=(3, 64)).astype(np.float32)
     out = U.cosine_similarity(x, y)
     assert out.shape == (1, 3)
-    with pytest.raises(ValueError, match="at least 2 features"):
+    with pytest.raises(ValueError, match=">= 2 features"):
         U.cosine_similarity(np.ones((3, 1)), np.ones((3, 1)))
 
 
@@ -79,7 +79,7 @@ def test_gaussian_blur_matches_opencv(rng):
 
 def test_gaussian_blur_kernel_size_validation(rng):
     img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
-    with pytest.raises(ValueError, match="Kernel radius"):
+    with pytest.raises(ValueError, match="outside the supported"):
         U.gaussian_blur(img, kernel_size=3, sigma=2.0)
 
 
