@@ -99,6 +99,26 @@ def _rowwise_adapter(
     return adapted
 
 
+_SINGLE_CHIP_FIT_KWARGS = frozenset(
+    {"chunk_size", "use_pallas", "init_subsample", "tol", "kmeans_iters"}
+)
+
+
+def _mesh_fit_kwargs(kwargs: dict) -> dict:
+    """Translate single-chip fit kwargs for the distributed fitters:
+    ``max_iters`` becomes ``n_iters``; knobs that only exist on the
+    single-chip path are dropped with a log note."""
+    out = {}
+    for key, value in kwargs.items():
+        if key == "max_iters":
+            out["n_iters"] = value
+        elif key in _SINGLE_CHIP_FIT_KWARGS:
+            logger.info("learn() on a mesh ignores single-chip kwarg %r", key)
+        else:
+            out[key] = value
+    return out
+
+
 def _tupleize_first_arg(func: Callable) -> Callable:
     """Convert an iterator/list first argument to a tuple (hashable), parity
     with reference _base_encoder.py:100-114."""
@@ -580,6 +600,14 @@ class ImageEncoderBase(SimilarityMetric):
         ``batch_size`` chunks, and ``max_descriptors`` caps the training
         set by uniform per-batch subsampling (recommended for
         dataset-scale vocabularies).
+
+        When ``encoder.mesh`` is set (with a 'data' axis), the PCA and
+        KMeans/GMM fits run on the mesh via
+        ``parallel.distributed_{pca,kmeans,gmm}_fit`` — descriptor rows
+        shard over 'data' and sufficient statistics psum-reduce — matching
+        how ``encode()`` already dispatches. Single-chip-only fit kwargs
+        (``chunk_size``, ``use_pallas``, ...) are ignored on this path;
+        ``max_iters`` maps to the distributed fitters' ``n_iters``.
         """
         if isinstance(images, np.ndarray) and images.ndim == 3:
             images = [images]
@@ -627,15 +655,40 @@ class ImageEncoderBase(SimilarityMetric):
             type(self.feature_extractor).__name__,
             d,
         )
+        mesh = self._mesh
+        use_mesh = mesh is not None and "data" in mesh.axis_names
         if dim_reduction_factor:
             new_dim = d // dim_reduction_factor
-            projector = pca_ops.pca_fit(flat, new_dim, mask=flat_mask)
+            if use_mesh:
+                from ..parallel import distributed_pca_fit
+
+                projector = distributed_pca_fit(flat, new_dim, mesh, mask=flat_mask)
+            else:
+                projector = pca_ops.pca_fit(flat, new_dim, mask=flat_mask)
             self._pca = projector
             flat = projector(flat)
         if self._vocabulary_kind == "kmeans":
-            model, _ = kmeans_ops.kmeans_fit(flat, n_clusters, mask=flat_mask, **kwargs)
+            if use_mesh:
+                from ..parallel import distributed_kmeans_fit
+
+                model, _ = distributed_kmeans_fit(
+                    flat, n_clusters, mesh, mask=flat_mask,
+                    **_mesh_fit_kwargs(kwargs),
+                )
+            else:
+                model, _ = kmeans_ops.kmeans_fit(
+                    flat, n_clusters, mask=flat_mask, **kwargs
+                )
         elif self._vocabulary_kind == "gmm":
-            model, _ = gmm_ops.gmm_fit(flat, n_clusters, mask=flat_mask, **kwargs)
+            if use_mesh:
+                from ..parallel import distributed_gmm_fit
+
+                model, _ = distributed_gmm_fit(
+                    flat, n_clusters, mesh, mask=flat_mask,
+                    **_mesh_fit_kwargs(kwargs),
+                )
+            else:
+                model, _ = gmm_ops.gmm_fit(flat, n_clusters, mask=flat_mask, **kwargs)
         else:
             raise ValueError("Unknown encoder class.")
         self._clustering_model = model

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from .codebooks import PcaProjector
 
-__all__ = ["pca_fit"]
+__all__ = ["pca_fit", "projector_from_moments"]
 
 
 @jax.jit
@@ -46,6 +46,23 @@ def pca_fit(
     if mask is None:
         mask = jnp.ones((x.shape[0],), jnp.float32)
     mean, cov, _ = _moments(x, mask.astype(jnp.float32))
+    return projector_from_moments(mean, cov, n_components, whiten=whiten)
+
+
+def projector_from_moments(
+    mean: jnp.ndarray,
+    cov: jnp.ndarray,
+    n_components: int,
+    *,
+    whiten: bool = False,
+) -> PcaProjector:
+    """Build a :class:`PcaProjector` from precomputed first/second moments.
+
+    Shared by :func:`pca_fit` and the mesh-sharded
+    :func:`pyvisim_tpu.parallel.distributed_pca_fit`, which psum-reduces
+    the (D,) mean and (D, D) covariance over the 'data' axis and then
+    decomposes the replicated statistics here.
+    """
     eigvals, eigvecs = jnp.linalg.eigh(cov)  # ascending
     idx = jnp.argsort(-eigvals)[:n_components]
     components = eigvecs[:, idx].T  # (n_components, D)

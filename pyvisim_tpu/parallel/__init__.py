@@ -8,6 +8,7 @@ from .sharded import (
     cluster_sharded_vlad_encode,
     distributed_gmm_fit,
     distributed_kmeans_fit,
+    distributed_pca_fit,
     pad_to_multiple,
     sharded_cosine_similarity,
     sharded_encode,
@@ -31,6 +32,7 @@ __all__ = [
     "cluster_sharded_vlad_encode",
     "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",
+    "distributed_pca_fit",
     "distributed_gmm_fit",
     "make_sharded_trainer",
     "shard_train_state",

@@ -36,6 +36,7 @@ __all__ = [
     "cluster_sharded_vlad_encode",
     "cluster_sharded_fisher_encode",
     "distributed_kmeans_fit",
+    "distributed_pca_fit",
     "distributed_gmm_fit",
 ]
 
@@ -492,6 +493,68 @@ def distributed_kmeans_fit(
         if best is None or inertia < best[1]:
             best = (centers, inertia)
     return KMeansCodebook(centers=best[0]), best[1]
+
+
+def _pca_moment_stats_local(x, mask):
+    """Per-shard raw PCA moments, psum-reduced over 'data': masked count,
+    masked coordinate sum, and the masked (D, D) raw second moment."""
+    xm = x * mask[:, None]
+    n = jax.lax.psum(jnp.sum(mask), "data")
+    s1 = jax.lax.psum(jnp.sum(xm, axis=0), "data")
+    # HIGHEST precision: the centering step s2 - n*mean*mean^T is a
+    # cancellation and cannot survive bf16 matmul inputs (same reasoning
+    # as the GMM covariance statistics above).
+    s2 = jax.lax.psum(
+        jnp.dot(xm.T, x, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST),
+        "data",
+    )
+    return n, s1, s2
+
+
+def distributed_pca_fit(
+    x: jnp.ndarray,
+    n_components: int,
+    mesh: Mesh,
+    *,
+    mask: jnp.ndarray | None = None,
+    whiten: bool = False,
+):
+    """PCA fit with descriptor rows sharded over the mesh's 'data' axis.
+
+    Each device accumulates its shard's first/second raw moments; one psum
+    over 'data' yields the global (D,) mean and (D, D) covariance, whose
+    (tiny, replicated) eigendecomposition is shared with the single-chip
+    path via :func:`ops.pca.projector_from_moments`. This is the scaling
+    path behind mesh-aware ``ImageEncoderBase.learn`` (reference
+    equivalent: the in-RAM sklearn ``PCA.fit`` at _base_encoder.py:330-332).
+    """
+    from ..ops.pca import projector_from_moments
+
+    x = jnp.asarray(x, jnp.float32)
+    if mask is None:
+        mask = jnp.ones((x.shape[0],), jnp.float32)
+    n_dev = mesh.shape["data"]
+    x, _ = pad_to_multiple(x, n_dev)
+    mask, _ = pad_to_multiple(jnp.asarray(mask, jnp.float32), n_dev)
+
+    stats = shard_map(
+        _pca_moment_stats_local,
+        mesh=mesh,
+        in_specs=(P("data", None), P("data")),
+        out_specs=(P(), P(), P()),
+    )
+
+    @jax.jit
+    def moments(x, mask):
+        n, s1, s2 = stats(x, mask)
+        n = jnp.maximum(n, 1.0)
+        mean = s1 / n
+        cov = (s2 - n * jnp.outer(mean, mean)) / jnp.maximum(n - 1.0, 1.0)
+        return mean, cov
+
+    mean, cov = moments(x, mask)
+    return projector_from_moments(mean, cov, n_components, whiten=whiten)
 
 
 def _gmm_stats_local(x, mask, gmm: GmmCodebook):
