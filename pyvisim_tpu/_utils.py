@@ -40,6 +40,7 @@ __all__ = [
     "load_hdf5",
     "save_model",
     "load_model",
+    "load_sklearn_pickle",
     "fit_regression_line",
     "get_statistics",
     "plot_and_save_heatmap",
@@ -252,28 +253,82 @@ def save_model(model, file_path: str) -> None:
 
 def load_model(file_path: str):
     """Load a model artifact saved by :func:`save_model` (or a reference
-    joblib pickle, auto-converted to a codebook pytree when recognizable)."""
+    joblib pickle, auto-converted to a codebook pytree when recognizable).
+
+    Pickles written by a different sklearn version are still loaded (for
+    reference compatibility) but the conversion is invariant-checked and
+    the skew is logged — see :func:`load_sklearn_pickle` for the strict
+    variant."""
     if str(file_path).endswith(".npz"):
         from .ops.codebooks import load_codebook
 
         return load_codebook(file_path)
-    import joblib
-
-    with open(file_path, "rb") as f:
-        obj = joblib.load(f)
+    obj = load_sklearn_pickle(file_path, allow_version_skew=True)
     return _maybe_convert_sklearn(obj)
 
 
+def load_sklearn_pickle(file_path: str, *, allow_version_skew: bool = False):
+    """joblib-load an sklearn estimator pickle, surfacing version skew.
+
+    sklearn emits ``InconsistentVersionWarning`` when unpickling an
+    estimator written by a different release — attribute layouts may have
+    changed, silently corrupting the loaded arrays. By default that is
+    raised as an error; with ``allow_version_skew=True`` the object is
+    returned and the skew logged (callers should invariant-check what they
+    extract, e.g. via ``ops.codebooks.validate_codebook``).
+    """
+    import warnings
+
+    import joblib
+
+    try:
+        from sklearn.exceptions import InconsistentVersionWarning
+    except ImportError:  # very old sklearn: no such warning class
+        InconsistentVersionWarning = ()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        with open(file_path, "rb") as f:
+            obj = joblib.load(f)
+    skew = [w for w in caught if isinstance(w.message, InconsistentVersionWarning)]
+    for w in caught:  # re-emit everything unrelated to version skew
+        if w not in skew:
+            warnings.warn_explicit(w.message, w.category, w.filename, w.lineno)
+    if skew:
+        detail = "; ".join(str(w.message) for w in skew)
+        if not allow_version_skew:
+            raise RuntimeError(
+                f"Refusing to convert {file_path}: it was pickled by a "
+                f"different sklearn version ({detail}). Pass "
+                "allow_version_skew=True (or --allow-version-skew to the "
+                "converter tool) to proceed with invariant-checked extraction."
+            )
+        logger.warning(
+            "Loaded %s across an sklearn version skew (%s); extracted arrays "
+            "will be invariant-checked.",
+            file_path,
+            detail,
+        )
+    return obj
+
+
 def _maybe_convert_sklearn(obj):
-    from .ops.codebooks import GmmCodebook, KMeansCodebook, PcaProjector
+    from .ops.codebooks import (
+        GmmCodebook,
+        KMeansCodebook,
+        PcaProjector,
+        validate_codebook,
+    )
 
     if hasattr(obj, "cluster_centers_"):
-        return KMeansCodebook.from_sklearn(obj)
-    if hasattr(obj, "covariances_"):
-        return GmmCodebook.from_sklearn(obj)
-    if hasattr(obj, "components_"):
-        return PcaProjector.from_sklearn(obj)
-    return obj
+        converted = KMeansCodebook.from_sklearn(obj)
+    elif hasattr(obj, "covariances_"):
+        converted = GmmCodebook.from_sklearn(obj)
+    elif hasattr(obj, "components_"):
+        converted = PcaProjector.from_sklearn(obj)
+    else:
+        return obj
+    validate_codebook(converted)
+    return converted
 
 
 def save_to_hdf5(file_path: str, dataset_dict: dict[str, Any]) -> None:

@@ -22,7 +22,70 @@ __all__ = [
     "PcaProjector",
     "save_codebook",
     "load_codebook",
+    "validate_codebook",
 ]
+
+
+def validate_codebook(codebook: Any) -> None:
+    """Assert the structural invariants of a vocabulary artifact.
+
+    Used by the pickle converter (tools/convert_sklearn_pickles.py) and
+    ``_utils.load_model`` so that a silently-corrupted unpickle — e.g. an
+    sklearn version skew changing attribute layouts — fails loudly instead
+    of propagating garbage into encodings. Raises ``ValueError``.
+    """
+
+    def _finite(name, arr, ndim):
+        arr = np.asarray(arr)
+        if arr.ndim != ndim:
+            raise ValueError(f"{name}: expected {ndim}-D, got shape {arr.shape}")
+        if not np.isfinite(arr).all():
+            raise ValueError(f"{name}: contains non-finite values")
+        return arr
+
+    if isinstance(codebook, KMeansCodebook):
+        centers = _finite("KMeansCodebook.centers", codebook.centers, 2)
+        if centers.shape[0] < 1:
+            raise ValueError("KMeansCodebook: needs at least one center")
+    elif isinstance(codebook, GmmCodebook):
+        w = _finite("GmmCodebook.weights", codebook.weights, 1)
+        mu = _finite("GmmCodebook.means", codebook.means, 2)
+        cov = _finite("GmmCodebook.covariances", codebook.covariances, 2)
+        if not (w.shape[0] == mu.shape[0] == cov.shape[0]):
+            raise ValueError(
+                f"GmmCodebook: component counts disagree "
+                f"(weights {w.shape}, means {mu.shape}, covariances {cov.shape})"
+            )
+        if mu.shape != cov.shape:
+            raise ValueError(
+                f"GmmCodebook: means {mu.shape} vs covariances {cov.shape}"
+            )
+        if (w < 0).any() or abs(float(w.sum()) - 1.0) > 1e-3:
+            raise ValueError(
+                f"GmmCodebook: weights must be >= 0 and sum to 1 "
+                f"(sum={float(w.sum())!r})"
+            )
+        if (cov <= 0).any():
+            raise ValueError("GmmCodebook: covariances must be strictly positive")
+    elif isinstance(codebook, PcaProjector):
+        comp = _finite("PcaProjector.components", codebook.components, 2)
+        mean = _finite("PcaProjector.mean", codebook.mean, 1)
+        if comp.shape[0] > comp.shape[1]:
+            raise ValueError(
+                f"PcaProjector: more components than input dims {comp.shape}"
+            )
+        if mean.shape[0] != comp.shape[1]:
+            raise ValueError(
+                f"PcaProjector: mean dim {mean.shape[0]} != input dim {comp.shape[1]}"
+            )
+        if codebook.explained_variance is not None:
+            ev = _finite(
+                "PcaProjector.explained_variance", codebook.explained_variance, 1
+            )
+            if (ev < 0).any():
+                raise ValueError("PcaProjector: explained_variance must be >= 0")
+    else:
+        raise TypeError(f"Not a codebook pytree: {type(codebook)}")
 
 
 @struct.dataclass

@@ -123,9 +123,9 @@ def test_batch_matches_loop(rng, small_gmm):
 
 @pytest.mark.skipif(not os.path.exists(REF_GMM_PKL), reason="reference pickle absent")
 def test_posteriors_match_sklearn_on_real_pickle(rng):
-    import joblib
+    from pyvisim_tpu._utils import load_sklearn_pickle
 
-    gmm_sk = joblib.load(REF_GMM_PKL)
+    gmm_sk = load_sklearn_pickle(REF_GMM_PKL, allow_version_skew=True)
     gmm = GmmCodebook.from_sklearn(gmm_sk)
     desc = (gmm_sk.means_[rng.integers(0, 256, size=64)]).astype(np.float32)
     desc += rng.normal(scale=0.3, size=desc.shape).astype(np.float32)
@@ -136,9 +136,9 @@ def test_posteriors_match_sklearn_on_real_pickle(rng):
 
 @pytest.mark.skipif(not os.path.exists(REF_GMM_PKL), reason="reference pickle absent")
 def test_fisher_on_real_pickle_shape_and_norm(rng):
-    import joblib
+    from pyvisim_tpu._utils import load_sklearn_pickle
 
-    gmm_sk = joblib.load(REF_GMM_PKL)
+    gmm_sk = load_sklearn_pickle(REF_GMM_PKL, allow_version_skew=True)
     gmm = GmmCodebook.from_sklearn(gmm_sk)
     desc = rng.normal(size=(500, 64)).astype(np.float32)
     v = np.asarray(fisher_encode(desc, None, gmm))

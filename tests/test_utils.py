@@ -145,3 +145,95 @@ def test_plots_write_files(tmp_path, rng):
     )
     for f in ["h.png", "b.png", "l.png", "hist.png", "box.png", "sc.png"]:
         assert (tmp_path / f).exists()
+
+
+def test_load_sklearn_pickle_version_skew_gate(tmp_path, rng):
+    """A pickle carrying an sklearn version skew must raise by default and
+    load (invariant-checked) with allow_version_skew=True."""
+    import joblib
+    import pytest
+    import sklearn
+    from sklearn.cluster import KMeans
+
+    km = KMeans(n_clusters=3, n_init=2, random_state=0).fit(
+        rng.normal(size=(50, 8)).astype(np.float32)
+    )
+    p = str(tmp_path / "km.pkl")
+    joblib.dump(km, p)
+    # same-version pickle: loads clean either way
+    assert U.load_sklearn_pickle(p).n_clusters == 3
+
+    # forge a skewed pickle by lying about the writer's version (the
+    # version stamp is injected by BaseEstimator.__getstate__ from
+    # sklearn.base's module-level __version__)
+    import sklearn.base as skbase
+
+    orig = skbase.__version__
+    p2 = str(tmp_path / "km_skew.pkl")
+    try:
+        skbase.__version__ = "0.0.1"
+        joblib.dump(km, p2)
+    finally:
+        skbase.__version__ = orig
+    with pytest.raises(RuntimeError, match="different sklearn version"):
+        U.load_sklearn_pickle(p2)
+    got = U.load_sklearn_pickle(p2, allow_version_skew=True)
+    np.testing.assert_allclose(got.cluster_centers_, km.cluster_centers_)
+
+
+def test_load_model_validates_converted_codebook(tmp_path):
+    """A corrupted estimator (invariant-violating arrays) must fail loudly
+    when auto-converted by load_model, not propagate garbage."""
+    import joblib
+    import pytest
+    from sklearn.mixture import GaussianMixture
+
+    gmm = GaussianMixture(n_components=2, covariance_type="diag")
+    gmm.weights_ = np.array([0.7, 0.7])  # does not sum to 1
+    gmm.means_ = np.zeros((2, 4))
+    gmm.covariances_ = np.ones((2, 4))
+    p = str(tmp_path / "bad_gmm.pkl")
+    joblib.dump(gmm, p)
+    with pytest.raises(ValueError, match="sum to 1"):
+        U.load_model(p)
+
+
+def test_validate_codebook_accepts_good_and_rejects_bad(rng):
+    import pytest
+
+    from pyvisim_tpu.ops.codebooks import (
+        GmmCodebook,
+        KMeansCodebook,
+        PcaProjector,
+        validate_codebook,
+    )
+
+    validate_codebook(
+        KMeansCodebook(centers=rng.normal(size=(4, 8)).astype(np.float32))
+    )
+    validate_codebook(
+        PcaProjector(
+            mean=np.zeros(8, np.float32),
+            components=rng.normal(size=(4, 8)).astype(np.float32),
+            explained_variance=np.ones(4, np.float32),
+        )
+    )
+    with pytest.raises(ValueError, match="strictly positive"):
+        validate_codebook(
+            GmmCodebook(
+                weights=np.full(2, 0.5, np.float32),
+                means=np.zeros((2, 4), np.float32),
+                covariances=np.zeros((2, 4), np.float32),
+            )
+        )
+    with pytest.raises(ValueError, match="non-finite"):
+        validate_codebook(
+            KMeansCodebook(centers=np.full((2, 4), np.nan, np.float32))
+        )
+    with pytest.raises(ValueError, match="more components"):
+        validate_codebook(
+            PcaProjector(
+                mean=np.zeros(2, np.float32),
+                components=np.ones((4, 2), np.float32),
+            )
+        )
