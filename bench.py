@@ -232,10 +232,12 @@ def latency_main() -> None:
 
 def serving_qps_main() -> None:
     """Sustained query throughput of the production serving path:
-    ``RetrievalIndex(quantize="int8", screen_dim=256, rerank=64)`` over
-    the BASELINE-shaped 6,149 x 131,584 gallery — the round-3k measured
-    winner (fastest at Q=1 and Q=8 among screened modes AND 4x gallery
-    density; docs/PERF.md "Serving-index modes"). Queries queue
+    ``RetrievalIndex(quantize="int8", screen_dim=256, rerank=128)`` over
+    the BASELINE-shaped 6,149 x 131,584 gallery — int8+screen is the
+    round-3k measured winner (fastest at Q=1 and Q=8 among screened
+    modes AND 4x gallery density; docs/PERF.md "Serving-index modes"),
+    and rerank=128 is the round-4 recall-sized default (recall@5 >= 0.99
+    vs the exact scan on structured encodings; "Serving-index recall"). Queries queue
     back-to-back behind the in-order dispatch stream with ONE final
     scalar fetch, so the number is device+dispatch throughput with the
     relay RTT amortized — the steady-state QPS a serving loop sustains
@@ -257,7 +259,7 @@ def serving_qps_main() -> None:
     )(gallery)
     idx = RetrievalIndex(
         gallery, [str(i) for i in range(n)], quantize="int8",
-        screen_dim=256, rerank=64, _assume_normalized=True,
+        screen_dim=256, rerank=128, _assume_normalized=True,
     )
     q = jax.jit(
         lambda g, key: (

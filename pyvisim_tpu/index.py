@@ -71,16 +71,21 @@ class RetrievalIndex:
         row gather instead of data-dependent cell probing, which XLA
         cannot tile).
     :param rerank: candidates rescored exactly per query in screen mode
-        (default ``max(4*k, 64)`` at query time). Recall@k against the
+        (default ``max(4*k, 128)`` at query time). Recall@k against the
         exact scan rises with ``rerank``; ``rerank >= len(index)`` is
-        bit-identical to the exact path. Sizing guidance (measured,
-        docs/PERF.md "Serving-index modes"): the re-rank row gather
-        moves bytes ~15x slower than the exact scan's streaming matmul,
-        so screening wins when ``Q * rerank`` is well under ``n / 15``
-        — the single-query / large-gallery serving regime (6.6x vs the
-        exact f32 scan at n=6,149, Q=1, rerank=64); for large query
-        batches or ``rerank`` a sizable fraction of ``n``, prefer the
-        exact (or int8) scan.
+        bit-identical to the exact path. Sizing (measured, docs/PERF.md
+        "Serving-index recall on structured encodings"): on a
+        manifold-dense VLAD gallery (6,149 rows expanded from real
+        encodings, 5th-6th margins ~1e-3) recall@5-vs-exact is 0.95 at
+        rerank=64 and saturates at 0.99 from rerank=128 — hence the 128
+        default; galleries of distinct images have wider margins and 64
+        often suffices. Cost guidance (docs/PERF.md "Serving-index
+        modes"): the re-rank row gather moves bytes ~15x slower than the
+        exact scan's streaming matmul, so screening wins when
+        ``Q * rerank`` is well under ``n / 15`` — the single-query /
+        large-gallery serving regime; for large query batches or
+        ``rerank`` a sizable fraction of ``n``, prefer the exact (or
+        int8) scan (``auto_exact`` routes there by itself).
     :param auto_exact: (default True) queries on a screened index route
         to the exact full scan whenever ``Q * rerank * 15 >= n`` — past
         that measured crossover the exact scan is FASTER, and it is
@@ -232,7 +237,7 @@ class RetrievalIndex:
         def _query(q, k):
             r = None
             if self.screen_dim is not None:
-                r = self.rerank if self.rerank is not None else max(4 * k, 64)
+                r = self.rerank if self.rerank is not None else max(4 * k, 128)
                 r = max(min(r, self._n), k)
                 # Measured crossover (docs/PERF.md "Serving-index
                 # modes"): the re-rank row gather moves bytes ~15x

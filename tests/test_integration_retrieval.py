@@ -32,28 +32,7 @@ N_GALLERY = 6  # per class
 N_QUERY = 4  # per class -> 80 queries total
 
 
-def make_class_images(seed, n, h=240, w=300):
-    """One 'class' = a structured base scene + mild affine/noise variants."""
-    rng = np.random.default_rng(seed)
-    base = np.zeros((h, w), np.float32)
-    for _ in range(25):
-        y, x = rng.integers(30, h - 30), rng.integers(30, w - 30)
-        s = rng.integers(3, 12)
-        yy, xx = np.mgrid[-25:26, -25:26]
-        base[y - 25 : y + 26, x - 25 : x + 26] += np.exp(
-            -(yy**2 + xx**2) / (2 * s**2)
-        ) * rng.uniform(60, 220)
-    base = np.clip(base, 0, 255)
-    images = []
-    for i in range(n):
-        ang = rng.uniform(-8, 8)
-        scale = rng.uniform(0.92, 1.08)
-        m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, scale)
-        m[:, 2] += rng.uniform(-8, 8, size=2)
-        img = cv2.warpAffine(base, m, (w, h))
-        img = np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
-        images.append(np.stack([img] * 3, axis=-1))
-    return images
+from pyvisim_tpu.datasets import make_class_images  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -380,3 +359,56 @@ def test_serving_scale_streamed_quantized_index(tmp_path):
     r_int8 = recall_at_5(idx_int8)
     assert r_f32 > 0.9, f"f32 recall@5={r_f32}"
     assert r_int8 >= r_f32 - 0.02, f"int8 {r_int8} vs f32 {r_f32}"
+
+
+# ---------------------------------------------------------------------------
+# Serving-index recall on REAL structured encodings (VERDICT r3 weak #4)
+# ---------------------------------------------------------------------------
+def test_screened_index_recall_on_real_vlad_gallery(tpu_cache, mini_dataset):
+    """The production serving config (int8 + screen + rerank) must recover
+    the exact scan's top-5 on a gallery with REALISTIC margin structure —
+    mini-dataset VLAD encodings expanded along their class manifolds — not
+    just on planted-synthetic i.i.d. galleries (docs/PERF.md round 3j
+    finding 3)."""
+    from pyvisim_tpu.datasets import expand_encodings
+    from pyvisim_tpu.index import RetrievalIndex
+
+    gallery_paths, gallery_labels, queries, query_labels = mini_dataset
+    ext = Lambda(lambda im: tpu_cache[im.tobytes()], output_dim=128)
+    enc = VLADEncoder(feature_extractor=ext)
+    from pyvisim_tpu.io import imread_rgb
+
+    train_imgs = [imread_rgb(p) for p in gallery_paths]
+    enc.learn(train_imgs, n_clusters=16)
+    base = enc.encode(train_imgs)  # (120, 2048) real VLAD vectors
+    labels = np.array([gallery_labels[p] for p in gallery_paths])
+    gal, _ = expand_encodings(base, labels, n_total=4096, seed=0)
+    q = enc.encode(queries)  # 80 real query encodings
+
+    paths = [f"g{i}" for i in range(gal.shape[0])]
+    exact = RetrievalIndex(gal, paths, quantize="int8")
+    k = 5
+    _, ix_exact = exact.query_vectors(q, k=k)
+    exact_sets = [set(row) for row in np.asarray(ix_exact)]
+
+    def recall_at_k(rerank):
+        idx = RetrievalIndex(
+            gal, paths, quantize="int8", screen_dim=256, rerank=rerank,
+            auto_exact=False,  # pin the screened kernel
+        )
+        _, ix = idx.query_vectors(q, k=k)
+        # set-intersection vs the SAME-quantization exact scan, so the
+        # measurement isolates screening loss (the screened rescorer uses
+        # the float query where the int8 scan quantizes it — sub-1e-3
+        # score ties would dominate a score-threshold metric here)
+        return float(np.mean([
+            len(set(row) & exact_sets[i]) / k
+            for i, row in enumerate(np.asarray(ix))
+        ]))
+
+    r128 = recall_at_k(128)  # the shipped default (max(4k, 128))
+    assert r128 >= 0.99, f"recall@5 at default rerank=128: {r128}"
+    # tighter screening degrades gracefully, and more rerank never hurts
+    r64, r256 = recall_at_k(64), recall_at_k(256)
+    assert r64 >= 0.9, f"recall@5 at rerank=64: {r64}"
+    assert r256 >= r128 - 1e-6, (r256, r128)

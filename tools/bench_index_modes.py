@@ -165,6 +165,65 @@ def main_big() -> None:
                       "steps": STEPS, "query_cos": QUERY_COS}))
 
 
+def main_recall() -> None:
+    """Recall@5-vs-exact across rerank on a REAL-encoding gallery.
+
+    Planted-synthetic galleries measure screening recall only on the
+    planted match (ranks 2-5 are i.i.d. distractor ties — docs/PERF.md
+    round 3j finding 3). This mode builds a gallery with realistic margin
+    structure instead: mini-dataset images -> TPU RootSIFT -> learned
+    VLAD-k256 encodings (D=32,768), expanded along their class manifolds
+    to the BASELINE row count (datasets.expand_encodings), and sweeps
+    ``rerank`` for the production int8+screen config against the int8
+    exact scan (same quantization, so differences are purely screening;
+    set-intersection recall — the screened rescorer keeps the query in
+    float where the int8 scan quantizes it, so score-threshold metrics
+    drown in sub-1e-3 ties on this margin structure).
+    """
+    from pyvisim_tpu.datasets import expand_encodings, make_retrieval_corpus
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import RootSIFT
+
+    n_classes, n_per = 20, 10
+    images, labels = make_retrieval_corpus(n_classes, n_per)
+    gal_imgs = [im for i, im in enumerate(images) if i % n_per < 6]
+    gal_labels = labels[np.arange(len(images)) % n_per < 6]
+    q_imgs = [im for i, im in enumerate(images) if i % n_per >= 6]
+
+    enc = VLADEncoder(
+        feature_extractor=RootSIFT(max_keypoints=512, process_size=256)
+    )
+    t0 = time.perf_counter()
+    enc.learn(gal_imgs, n_clusters=256)
+    base = enc.encode(gal_imgs)  # (120, 32768) real VLAD-k256 vectors
+    q = enc.encode(q_imgs)  # (80, 32768) real query encodings
+    build_s = time.perf_counter() - t0
+    gal, _ = expand_encodings(base, gal_labels, n_total=N, seed=0)
+    paths = [str(i) for i in range(gal.shape[0])]
+
+    exact = RetrievalIndex(gal, paths, quantize="int8")
+    _, ix_exact = exact.query_vectors(q, k=K)
+    exact_sets = [set(row) for row in np.asarray(ix_exact)]
+    del exact
+
+    for rerank in (16, 32, 64, 128, 256):
+        idx = RetrievalIndex(gal, paths, quantize="int8", screen_dim=256,
+                             rerank=rerank, auto_exact=False)
+        _, ix = idx.query_vectors(q, k=K)
+        rec = float(np.mean([
+            len(set(row) & exact_sets[i]) / K
+            for i, row in enumerate(np.asarray(ix))
+        ]))
+        print(json.dumps({
+            "config": f"int8_screen256_rerank{rerank}",
+            "recall_at_5_vs_exact": round(rec, 4),
+        }), flush=True)
+        del idx
+    print(json.dumps({"mode": "recall", "n": gal.shape[0], "d": gal.shape[1],
+                      "queries": int(q.shape[0]), "encode_build_s":
+                      round(build_s, 1)}))
+
+
 def main() -> None:
     gallery = _make_gallery()
     rtt = _rtt()
@@ -211,6 +270,8 @@ def main() -> None:
                           rerank=64, auto_exact=False,
                           _assume_normalized=True)
     report("int8_screen256_rerank64", scr8, exact_idx8)
+    scr8.rerank = 128  # the shipped default (recall-sized, --recall mode)
+    report("int8_screen256_rerank128", scr8, exact_idx8)
     del scr8
 
     print(json.dumps({"rtt_ms": round(rtt * 1e3, 1), "n": N, "d": D,
@@ -220,5 +281,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--big" in sys.argv:
         main_big()
+    elif "--recall" in sys.argv:
+        main_recall()
     else:
         main()
