@@ -67,8 +67,113 @@ def _window_geom(radius: int):
     return p, nh8, lw
 
 
+def _hat(x):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(x))
+
+
+def _desc_accumulate(rbin, cbin, pos_o, mag, *, nh8: int):
+    """Histogram accumulation over the window's nh8 row-chunks: returns
+    the raw (4, 32) = (r, c*8+o) descriptor grid.
+
+    Interior-only, fold-in-weights formulation: the r/c histogram
+    borders (bins -1 and 4) only ever get DISCARDED — so build hat
+    weights for the 4 interior bins only — and the circular o border
+    (bin 8; bin 9 is structurally zero since pos_o < 8) folds onto
+    bin 0 INSIDE the weight build: wo8[o] = hat(pos-o) + hat(pos-8-o).
+    The two hats are mutually exclusive per pixel (pos<1 vs pos>7), so
+    the bf16 product stream is bit-identical to folding after the
+    accumulate, and hist[r, c*8+o] IS the final 4x4x8 descriptor grid:
+    no 36-row repeat/tile expansions, no border fold, no 16-of-36
+    compaction matmul.
+
+    The r and c hat families build as ONE (8, lw) stream (rows 0-3
+    r-bins, rows 4-7 c-bins): a (4, lw) f32 op pads to the same 4 vregs
+    as an (8, lw) op on the 8-sublane VPU, so the merged build does the
+    two families' hat math at one build's vreg cost. Measured effect is
+    within noise (1.77 vs 1.79 us/cand, docs/PERF.md round 4) because
+    the scaffold+DMA floor dominates the chunk; kept for the fewer ops.
+
+    Per c we contract (4,lw)x(lw,8) on the MXU against the (8,lw)
+    wo8*hc product — no (32,lw) materialization (a single batched
+    contraction measured worse; see docs/PERF.md round-3g negative
+    results on concat/batching).
+
+    wo8 via circular hat distance: with po in [0, 8) and integer bins
+    o in 0..7, d = po - o lies in [-7, 8), so min(|d|, 8 - |d|) < 1
+    exactly where hat(d) + hat(d - 8) is nonzero (the two hats are
+    mutually exclusive) and evaluates to the same f32 bits (all
+    intermediates are exact f32 subtractions) — one hat instead of two.
+    """
+    f32 = jnp.float32
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
+    # rows 0-3 select rbin, rows 4-7 cbin; bin id is the row mod 4
+    k8 = (jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) % _D).astype(f32)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) < _D
+
+    acc = [jnp.zeros((_D, _N), f32) for _ in range(_D)]
+    for i0 in range(nh8):
+        rc = jnp.where(rsel, rbin[i0:i0 + 1, :], cbin[i0:i0 + 1, :])
+        hrc = _hat(rc - k8)  # (8, lw): rows 0-3 = hr, rows 4-7 = hc
+        hr4m = (hrc[:_D] * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
+        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)  # (8, lw)
+        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+        for ci in range(_D):
+            aco = (wo8 * hrc[_D + ci:_D + ci + 1, :]).astype(jnp.bfloat16)
+            acc[ci] = acc[ci] + jax.lax.dot_general(
+                hr4m, aco, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+    return jnp.concatenate(acc, axis=1)  # (4, 32) = (r, c*8+o)
+
+
+def _desc_accumulate_split(rbin, cbin, pos_o, mag, *, nh8: int):
+    """Round-3h accumulation (separate 4-row r/c hat builds): kept as the
+    A/B baseline for tools/bench_desc_variants.py."""
+    f32 = jnp.float32
+    k4 = jax.lax.broadcasted_iota(jnp.int32, (_D, 1), 0).astype(f32)
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
+    acc = [jnp.zeros((_D, _N), f32) for _ in range(_D)]
+    for i0 in range(nh8):
+        hr4m = (_hat(rbin[i0:i0 + 1, :] - k4)
+                * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)  # (4, lw)
+        hc4 = _hat(cbin[i0:i0 + 1, :] - k4)  # (4, lw)
+        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)  # (8, lw)
+        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+        for ci in range(_D):
+            aco = (wo8 * hc4[ci:ci + 1, :]).astype(jnp.bfloat16)
+            acc[ci] = acc[ci] + jax.lax.dot_general(
+                hr4m, aco, (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+    return jnp.concatenate(acc, axis=1)
+
+
+def _desc_accumulate_wide(rbin, cbin, pos_o, mag, *, nh8: int):
+    """Single (32, lw) weight build + ONE MXU dot per chunk (A/B
+    candidate): tiles wo8 and repeats the c-hats on the sublane axis so
+    the whole (4, 32) grid accumulates in one contraction."""
+    f32 = jnp.float32
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
+    k8 = (jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) % _D).astype(f32)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) < _D
+    acc = jnp.zeros((_D, _D * _N), f32)
+    for i0 in range(nh8):
+        rc = jnp.where(rsel, rbin[i0:i0 + 1, :], cbin[i0:i0 + 1, :])
+        hrc = _hat(rc - k8)
+        hr4m = (hrc[:_D] * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
+        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)
+        wo8 = (jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+               .astype(jnp.bfloat16))
+        hc4 = hrc[_D:].astype(jnp.bfloat16)
+        w32 = (jnp.tile(wo8, (_D, 1))
+               * jnp.repeat(hc4, _N, axis=0))  # (32, lw) bf16
+        acc = acc + jax.lax.dot_general(
+            hr4m, w32, (((1,), (1,)), ((), ())),
+            preferred_element_type=f32)
+    return acc
+
+
 def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
-                          *, radius: int, nh8: int, lw: int):
+                          *, radius: int, nh8: int, lw: int,
+                          accumulate=_desc_accumulate):
     """OpenCV calcSIFTDescriptor math over one (nh8, lw) mag/ang window.
     Mirrors ops/sift.py::_descriptor (see its comments); all masks are
     window-relative so alignment residuals (s0 rows, cres cols) need no
@@ -111,49 +216,14 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
     mag = mag_w * wgt * ok.astype(f32)
 
-    o0f = jnp.floor(obin)
-    of_ = obin - o0f
-    o0 = (o0f.astype(jnp.int32) % _N + _N) % _N
-    pos_o = o0.astype(f32) + of_
+    # obin mod 8 as a pure-float wrap: obin * 0.125 is exact (power-of-two
+    # scale), floor/8*floor exact, so the subtraction is the single
+    # rounding — bit-identical to the int-cast floor/mod/mod chain it
+    # replaces (of_ = obin - floor(obin) is exact by Sterbenz, and both
+    # forms then round the same real number once), at 4 VPU ops vs ~8.
+    pos_o = obin - 8.0 * jnp.floor(obin * 0.125)
 
-    # iota must be integer-typed on TPU; cast after
-    k4 = jax.lax.broadcasted_iota(jnp.int32, (_D, 1), 0).astype(f32)
-    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
-
-    def hat(x):
-        return jnp.maximum(0.0, 1.0 - jnp.abs(x))
-
-    # Interior-only, fold-in-weights formulation: the r/c histogram
-    # borders (bins -1 and 4) only ever get DISCARDED — so build hat
-    # weights for the 4 interior bins only — and the circular o border
-    # (bin 8; bin 9 is structurally zero since pos_o < 8) folds onto
-    # bin 0 INSIDE the weight build: wo8[o] = hat(pos-o) + hat(pos-8-o).
-    # The two hats are mutually exclusive per pixel (pos<1 vs pos>7), so
-    # the bf16 product stream is bit-identical to folding after the
-    # accumulate, and hist[r, c*8+o] IS the final 4x4x8 descriptor grid:
-    # no 36-row repeat/tile expansions, no border fold, no 16-of-36
-    # compaction matmul. Per c we contract (4,lw)x(lw,8) on the MXU
-    # against the (8,lw) wo8*hc product — no (32,lw) materialization
-    # (a single batched contraction measured worse; see docs/PERF.md
-    # round-3g negative results on concat/batching).
-    # wo8 via circular hat distance: with po in [0, 8) and integer bins
-    # o in 0..7, d = po - o lies in [-7, 8), so min(|d|, 8 - |d|) < 1
-    # exactly where hat(d) + hat(d - 8) is nonzero (the two hats are
-    # mutually exclusive) and evaluates to the same f32 bits (all
-    # intermediates are exact f32 subtractions) — one hat instead of two.
-    acc = [jnp.zeros((_D, _N), f32) for _ in range(_D)]
-    for i0 in range(nh8):
-        hr4m = (hat(rbin[i0:i0 + 1, :] - k4)
-                * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)  # (4, lw)
-        hc4 = hat(cbin[i0:i0 + 1, :] - k4)  # (4, lw)
-        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)  # (8, lw)
-        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
-        for ci in range(_D):
-            aco = (wo8 * hc4[ci:ci + 1, :]).astype(jnp.bfloat16)
-            acc[ci] = acc[ci] + jax.lax.dot_general(
-                hr4m, aco, (((1,), (1,)), ((), ())),
-                preferred_element_type=f32)
-    vec = jnp.concatenate(acc, axis=1)  # (4, 32) = (r, c*8+o)
+    vec = accumulate(rbin, cbin, pos_o, mag, nh8=nh8)
 
     nrm2 = jnp.sum(vec * vec)
     thr = jnp.sqrt(nrm2) * 0.2
@@ -164,7 +234,8 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
 
 
 def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
-                 radius: int, nh8: int, lw: int):
+                 radius: int, nh8: int, lw: int,
+                 accumulate=_desc_accumulate):
     """_G candidates per grid step, group-double-buffered DMAs.
 
     iref (8, n) int32 scalar-prefetch rows:
@@ -223,13 +294,14 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
                 fref[0, j], fref[1, j], fref[2, j], fref[3, j],
                 fref[4, j], fref[5, j],
                 iref[3, j].astype(f32), iref[4, j].astype(f32),
-                radius=radius, nh8=nh8, lw=lw)
+                radius=radius, nh8=nh8, lw=lw, accumulate=accumulate)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "interpret"))
+    jax.jit, static_argnames=("radius", "interpret", "accumulate"))
 def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           accumulate=_desc_accumulate):
     """Run the fused descriptor kernel over a candidate chunk.
 
     atlas_flat: (rows, 2, W8) folded atlas view (see ops/sift.py).
@@ -253,7 +325,8 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
             pltpu.SemaphoreType.DMA((2, _G)),
         ],
     )
-    kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw)
+    kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw,
+                             accumulate=accumulate)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, _D, 4 * _N), jnp.float32),

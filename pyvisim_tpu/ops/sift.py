@@ -384,14 +384,47 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
         "nis,nqljs->niqlj", rs8, patches, preferred_element_type=jnp.float32
     )
     compact = jnp.einsum(
-        "niq,niqlj->nilj", rq, t, preferred_element_type=jnp.float32
-    )  # (N, side, L+2, wcols): patch row i = folded row s0+i
+        "niq,niqlj->nlij", rq, t, preferred_element_type=jnp.float32
+    )  # (N, L+2, side, wcols): patch row i = folded row s0+i
     if use_pallas:
         chc = jax.nn.one_hot(jres[:, None] + ii, wcols, dtype=patches.dtype)
         compact = jnp.einsum(
-            "nkj,nilj->nilk", chc, compact, preferred_element_type=jnp.float32
-        )  # (N, side, L+2, side): patch col k = window col jres+k
+            "nkj,nlij->nlik", chc, compact, preferred_element_type=jnp.float32
+        )  # (N, L+2, side, side): patch col k = window col jres+k
     # else: jres == 0 and wcols == side — compact is already aligned.
+    # Layer-major with the spatial plane flattened: ONE fused (row, col)
+    # one-hot then selects a 3x3 block per layer in a single contraction.
+    compact_sp = compact.reshape(n_cand, n_total, side * side)
+
+    # The 10 refinement stencils (value + 3 first / 3 second / 3 cross
+    # derivatives, image scales folded in) are fixed linear maps of the 27
+    # cube values: one constant (27, 10) matmul replaces the ~30 tiny (N,)
+    # slice/arithmetic ops of the per-stencil formulation (each a separate
+    # vector op; issue overhead dominated). Flat cube index is
+    # (a * 3 + b) * 3 + d for row/col/layer offsets a, b, d in 0..2.
+    w_st = np.zeros((27, 10), np.float32)
+
+    def _at(d_off, a_off, b_off):
+        return (a_off * 3 + b_off) * 3 + d_off
+
+    w_st[_at(1, 1, 1), 0] = img_scale                                 # value
+    for j, (pp, pm) in ((1, ((1, 1, 2), (1, 1, 0))),                  # dDx
+                        (2, ((1, 2, 1), (1, 0, 1))),                  # dDy
+                        (3, ((2, 1, 1), (0, 1, 1)))):                 # dDs
+        w_st[_at(*pp), j] = deriv_scale
+        w_st[_at(*pm), j] = -deriv_scale
+    for j, (pp, pm) in ((4, ((1, 1, 2), (1, 1, 0))),                  # dxx
+                        (5, ((1, 2, 1), (1, 0, 1))),                  # dyy
+                        (6, ((2, 1, 1), (0, 1, 1)))):                 # dss
+        w_st[_at(*pp), j] += second_deriv_scale
+        w_st[_at(*pm), j] += second_deriv_scale
+        w_st[_at(1, 1, 1), j] -= 2.0 * second_deriv_scale
+    for j, quad in ((7, ((1, 2, 2), (1, 2, 0), (1, 0, 2), (1, 0, 0))),  # dxy
+                    (8, ((2, 1, 2), (2, 1, 0), (0, 1, 2), (0, 1, 0))),  # dxs
+                    (9, ((2, 2, 1), (2, 0, 1), (0, 2, 1), (0, 0, 1)))):  # dys
+        for sgn, pos in zip((1.0, -1.0, -1.0, 1.0), quad):
+            w_st[_at(*pos), j] += sgn * cross_deriv_scale
+    w_st = jnp.asarray(w_st)
 
     def select(layer, dr, dc):
         """10 stencil scalars at local interior position (layer, dr, dc).
@@ -399,48 +432,21 @@ def _refine_candidates(folded, img, cand_layer, cand_r, cand_c, cand_valid,
         Interior (dr, dc) sits at patch row/col dr+1/dc+1; its 3x3
         spatial block spans compact patch rows dr..dr+2 / cols dc..dc+2
         (residuals pre-absorbed above), and the scale cube spans patch
-        layers layer-1..layer+1."""
-        rh = jax.nn.one_hot(dr[:, None] + tri, side, dtype=compact.dtype)
-        ch = jax.nn.one_hot(dc[:, None] + tri, side, dtype=compact.dtype)
+        layers layer-1..layer+1. A fused (9, side*side) spatial one-hot
+        and the layer one-hot pick the 3x3x3 cube in two contractions;
+        the constant stencil matrix maps it to the 10 scalars."""
+        ra = dr[:, None] + tri
+        ca = dc[:, None] + tri
+        idx = (ra[:, :, None] * side + ca[:, None, :]).reshape(n_cand, 9)
+        sp = jax.nn.one_hot(idx, side * side, dtype=compact_sp.dtype)
         lh = jax.nn.one_hot(layer[:, None] - 1 + tri, n_total)  # (N, 3, L+2)
-        t1 = jnp.einsum(
-            "nai,nilk->nalk", rh, compact, preferred_element_type=jnp.float32
-        )  # (N, 3, L+2, side): rows dr..dr+2 selected
-        blk = jnp.einsum(
-            "nalk,nbk->nabl", t1, ch, preferred_element_type=jnp.float32
-        )  # (N, 3, 3, L+2)
+        p_sel = jnp.einsum(
+            "naq,nlq->nal", sp, compact_sp, preferred_element_type=jnp.float32
+        )  # (N, 9, L+2): the 3x3 spatial block per layer, (a*3+b) rows
         cube = jnp.einsum(
-            "ndl,nabl->ndab", lh, blk, preferred_element_type=jnp.float32
-        )  # (N, 3, 3, 3): [layer-1+d, dr+a, dc+b]
-        cc = cube[:, 1, 1, 1]
-        v2 = cc * 2.0
-        return jnp.stack(
-            [
-                cc * img_scale,
-                (cube[:, 1, 1, 2] - cube[:, 1, 1, 0]) * deriv_scale,   # dDx
-                (cube[:, 1, 2, 1] - cube[:, 1, 0, 1]) * deriv_scale,   # dDy
-                (cube[:, 2, 1, 1] - cube[:, 0, 1, 1]) * deriv_scale,   # dDs
-                (cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - v2)
-                * second_deriv_scale,                                  # dxx
-                (cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - v2)
-                * second_deriv_scale,                                  # dyy
-                (cube[:, 2, 1, 1] + cube[:, 0, 1, 1] - v2)
-                * second_deriv_scale,                                  # dss
-                (
-                    cube[:, 1, 2, 2] - cube[:, 1, 2, 0]
-                    - cube[:, 1, 0, 2] + cube[:, 1, 0, 0]
-                ) * cross_deriv_scale,                                 # dxy
-                (
-                    cube[:, 2, 1, 2] - cube[:, 2, 1, 0]
-                    - cube[:, 0, 1, 2] + cube[:, 0, 1, 0]
-                ) * cross_deriv_scale,                                 # dxs
-                (
-                    cube[:, 2, 2, 1] - cube[:, 2, 0, 1]
-                    - cube[:, 0, 2, 1] + cube[:, 0, 0, 1]
-                ) * cross_deriv_scale,                                 # dys
-            ],
-            axis=1,
-        )  # (N, 10)
+            "nal,ndl->nad", p_sel, lh, preferred_element_type=jnp.float32
+        )  # (N, 9, 3): cube[(dr+a, dc+b), layer-1+d] with d minor
+        return cube.reshape(n_cand, 27) @ w_st  # (N, 10)
 
     def solve3(s):
         """Closed-form symmetric 3x3 solve H X = dD (adjugate/Cramer).
@@ -759,10 +765,11 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     # dominated the stage). Orientation uses pos = o0 + frac with o0 the
     # int-wrapped floor (OpenCV's decomposition), bins 0..9 with the
     # circular border folded below.
-    o0f = jnp.floor(obin)
-    of_ = obin - o0f
-    o0 = (o0f.astype(jnp.int32) % n + n) % n
-    pos_o = o0.astype(jnp.float32) + of_
+    # obin mod 8 as a pure-float wrap (bit-identical to the int-cast
+    # floor/mod/mod decomposition: obin * 0.125 and the floors are exact,
+    # so both forms round the same real number once; see the kernel twin
+    # in ops/pallas/sift_window.py).
+    pos_o = obin - float(n) * jnp.floor(obin * (1.0 / n))  # n = 8 = 2**3
 
     k36 = np.arange((d + 2) * (d + 2))
     rk = jnp.asarray((k36 // (d + 2)).astype(np.float32))[:, None]
