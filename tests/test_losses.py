@@ -1,8 +1,16 @@
-"""Loss parity tests vs golden torch transcriptions of the reference."""
+"""Loss parity tests vs the LIVE reference losses module.
+
+Goldens here are computed by running the actual reference implementation
+(``pyvisim.losses._losses``, loaded by ``_reference_oracle``) on the same
+inputs — not hand transcriptions (VERDICT r4 task 1c retired those). The
+broader live-loss parameter sweeps live in test_reference_oracle.py; these
+tests keep the loss module's own suite self-contained.
+"""
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+import _reference_oracle
 from pyvisim_tpu.losses import (
     FocalLoss,
     HybridFocalDiceLoss,
@@ -13,27 +21,23 @@ from pyvisim_tpu.losses import (
 )
 
 
-def torch_dice_golden(y_pred, y_true, log_loss=False, from_logits=True):
-    """Transcription of reference MultiClassDiceLoss.forward
-    (_losses.py:41-88) in torch."""
-    import torch
-    import torch.nn.functional as F
+def _ref_losses():
+    if not _reference_oracle.reference_available():  # pragma: no cover
+        pytest.skip("reference package not mounted")
+    _reference_oracle.load_reference()
+    import pyvisim.losses._losses as mod
 
-    y_pred = torch.from_numpy(y_pred)
-    y_true = torch.from_numpy(y_true)
-    if from_logits:
-        y_pred = F.softmax(y_pred, dim=1)
-    bs, num_classes = y_true.size(0), y_pred.size(1)
-    dims = (0, 2)
-    y_true = y_true.view(bs, num_classes, -1)
-    y_pred = y_pred.view(bs, num_classes, -1)
-    inter = torch.sum(y_pred * y_true, dim=dims)
-    card = torch.sum(y_pred + y_true, dim=dims)
-    scores = (2 * inter) / card.clamp_min(1e-7)
-    loss = -torch.log(scores.clamp_min(1e-7)) if log_loss else 1.0 - scores
-    mask = y_true.sum(dims) > 0
-    loss = loss * mask.to(loss.dtype)
-    return float(loss.mean())
+    return mod
+
+
+def torch_dice_golden(y_pred, y_true, log_loss=False, from_logits=True):
+    """Run the reference MultiClassDiceLoss (_losses.py:41-88) live."""
+    import torch
+
+    loss = _ref_losses().MultiClassDiceLoss(
+        mode="multiclass", log_loss=log_loss, from_logits=from_logits
+    )
+    return float(loss(torch.from_numpy(y_pred), torch.from_numpy(y_true)))
 
 
 @pytest.fixture
@@ -69,27 +73,14 @@ def test_dice_absent_class_masked(rng):
 
 
 def torch_focal_golden(y_pred, y_true, gamma=2.0, alpha=None):
-    """Transcription of reference FocalLoss.forward multiclass path
-    (_losses.py:113-171)."""
+    """Run the reference FocalLoss multiclass path (_losses.py:113-171)
+    live."""
     import torch
-    import torch.nn.functional as F
 
-    y_pred = torch.from_numpy(y_pred)
-    y_true_t = torch.from_numpy(y_true)
-    labels = torch.argmax(y_true_t, dim=1)
-    probs = F.softmax(y_pred, dim=1)
-    nc = probs.size(1)
-    probs = probs.permute(0, 2, 3, 1).reshape(-1, nc)
-    labels = labels.view(-1)
-    p_t = probs[torch.arange(probs.size(0)), labels]
-    if alpha is None:
-        alpha = torch.ones(nc) / nc
-    else:
-        alpha = torch.as_tensor(alpha, dtype=probs.dtype)
-        alpha = alpha / alpha.sum()
-    alpha_t = alpha[labels]
-    w = alpha_t * (1 - p_t) ** gamma
-    return float((w * (-torch.log(p_t.clamp(min=1e-7)))).mean())
+    if alpha is not None:
+        alpha = torch.as_tensor(np.asarray(alpha), dtype=torch.float32)
+    loss = _ref_losses().FocalLoss(mode="multiclass", gamma=gamma, alpha=alpha)
+    return float(loss(torch.from_numpy(y_pred), torch.from_numpy(y_true)))
 
 
 def test_focal_matches_torch_golden(seg_batch):
