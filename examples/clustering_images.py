@@ -4,12 +4,17 @@ Mirrors the reference's clustering_images_using_{vlad,fv,pipeline}.ipynb:
 encode a labeled image set, run spectral clustering on the vectors and on
 the cosine-similarity matrix, report RI/ARI/NMI.
 """
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+# PYVISIM_EXAMPLE_FAST=1 shrinks the problem so the script doubles as a
+# CPU-sized smoke test (tests/test_examples.py); the flow is identical.
+FAST = bool(os.environ.get("PYVISIM_EXAMPLE_FAST"))
 
 from pyvisim_tpu._utils import (
     cluster_images_and_generate_statistics,
@@ -40,18 +45,20 @@ def class_images(seed, n, h=220, w=280):
 
 
 def main():
-    n_classes, per_class = 4, 6
+    n_classes, per_class = (4, 3) if FAST else (4, 6)
+    hw = dict(h=128, w=160) if FAST else {}
+    kp, k = (128, 4) if FAST else (256, 8)
     images, labels = [], []
     for c in range(n_classes):
-        images += class_images(100 + c, per_class)
+        images += class_images(100 + c, per_class, **hw)
         labels += [c] * per_class
     labels = np.array(labels)
 
-    shared = RootSIFT(max_keypoints=256)
+    shared = RootSIFT(max_keypoints=kp)
     vlad = VLADEncoder(feature_extractor=shared)
-    vlad.learn(images, n_clusters=8)
+    vlad.learn(images, n_clusters=k)
     fv = FisherVectorEncoder(feature_extractor=shared)
-    fv.learn(images, n_clusters=8)
+    fv.learn(images, n_clusters=k)
 
     for name, enc in [("VLAD", vlad), ("FisherVector", fv), ("Pipeline", Pipeline([vlad, fv]))]:
         vecs = enc.encode(images)

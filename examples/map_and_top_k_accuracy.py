@@ -6,12 +6,17 @@ train split (6,149 images, swapped-split semantics), queries = validation
 vocabulary. Requires network access for the dataset download and a
 converted torchvision VGG16 checkpoint for pretrained features.
 """
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
+
+# PYVISIM_EXAMPLE_FAST=1 shrinks the problem so the script doubles as a
+# CPU-sized smoke test (tests/test_examples.py); the flow is identical.
+FAST = bool(os.environ.get("PYVISIM_EXAMPLE_FAST"))
 
 from pyvisim_tpu.datasets import OxfordFlowerDataset
 from pyvisim_tpu.encoders import VLADEncoder
@@ -25,10 +30,11 @@ def _synthetic_fallback():
     synthetic gallery (class = dominant color family) instead of dying on
     the Oxford-102 download."""
     rng = np.random.default_rng(0)
+    side = 96 if FAST else 160
     imgs, labels = [], []
     for i in range(24):
         label = i % 4
-        img = np.zeros((160, 160, 3), np.uint8)
+        img = np.zeros((side, side, 3), np.uint8)
         img[..., label % 3] = 120 + 30 * (label // 3)
         img = np.clip(
             img.astype(np.int32) + rng.integers(-60, 60, img.shape), 0, 255
@@ -36,9 +42,9 @@ def _synthetic_fallback():
         imgs.append(img)
         labels.append(label)
 
-    ext = DeepConvFeature(image_size=64)
+    ext = DeepConvFeature(image_size=32 if FAST else 64)
     encoder = VLADEncoder(feature_extractor=ext)
-    encoder.learn(imgs[::2], n_clusters=8)
+    encoder.learn(imgs[::2], n_clusters=4 if FAST else 8)
     paths = [f"mem://{i}" for i in range(16)]
     emap = {
         p: np.asarray(encoder.encode([img]))[0]

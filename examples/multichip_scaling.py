@@ -24,6 +24,10 @@ if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
 
 import numpy as np
 
+# PYVISIM_EXAMPLE_FAST=1 shrinks the problem so the script doubles as a
+# CPU-sized smoke test (tests/test_examples.py); the flow is identical.
+FAST = bool(os.environ.get("PYVISIM_EXAMPLE_FAST"))
+
 from pyvisim_tpu.index import RetrievalIndex
 from pyvisim_tpu.ops import KMeansCodebook
 from pyvisim_tpu.ops.vlad import vlad_encode
@@ -44,14 +48,16 @@ def main():
 
     # 1) distributed vocabulary training: descriptors sharded over 'data',
     #    (K, D) statistics psum-reduced
-    desc = rng.normal(size=(n_dev * 4096, 64)).astype(np.float32)
-    cb, inertia = distributed_kmeans_fit(desc, 32, mesh, n_iters=20)
+    rows, k, km_iters, gmm_iters = (512, 16, 5, 3) if FAST else (4096, 32, 20, 10)
+    desc = rng.normal(size=(n_dev * rows, 64)).astype(np.float32)
+    cb, inertia = distributed_kmeans_fit(desc, k, mesh, n_iters=km_iters)
     print(f"distributed kmeans: inertia/N = {inertia / len(desc):.3f}")
-    gmm, ll = distributed_gmm_fit(desc, 32, mesh, n_iters=10)
+    gmm, ll = distributed_gmm_fit(desc, k, mesh, n_iters=gmm_iters)
     print(f"distributed gmm:    mean ll  = {ll:.3f}")
 
     # 2) sharded batch encoding: image batch partitioned across chips
-    batch_desc = rng.normal(size=(n_dev * 4, 500, 64)).astype(np.float32)
+    n_desc = 100 if FAST else 500
+    batch_desc = rng.normal(size=(n_dev * 4, n_desc, 64)).astype(np.float32)
     mask = np.ones(batch_desc.shape[:2], np.float32)
 
     def core(d, m, model, pca):

@@ -3,6 +3,7 @@
 Build a RetrievalIndex from encoded images once, then answer queries with
 a single jitted encode -> matmul -> top_k round trip.
 """
+import os
 import pathlib
 import sys
 
@@ -11,6 +12,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 
 import numpy as np
+
+# PYVISIM_EXAMPLE_FAST=1 shrinks the problem so the script doubles as a
+# CPU-sized smoke test (tests/test_examples.py); the flow is identical.
+FAST = bool(os.environ.get("PYVISIM_EXAMPLE_FAST"))
 
 from pyvisim_tpu.encoders import VLADEncoder
 from pyvisim_tpu.features import RootSIFT
@@ -31,14 +36,16 @@ def blob_image(seed, h=240, w=300):
 
 
 def main():
-    gallery_images = [blob_image(i) for i in range(12)]
-    encoder = VLADEncoder(feature_extractor=RootSIFT(max_keypoints=512))
-    encoder.learn(gallery_images, n_clusters=16)
+    n_img, kp, k = (8, 192, 8) if FAST else (12, 512, 16)
+    h, w = (144, 176) if FAST else (240, 300)
+    gallery_images = [blob_image(i, h, w) for i in range(n_img)]
+    encoder = VLADEncoder(feature_extractor=RootSIFT(max_keypoints=kp))
+    encoder.learn(gallery_images, n_clusters=k)
 
     vectors = encoder.encode(gallery_images)
-    index = RetrievalIndex(vectors, [f"img_{i}" for i in range(12)])
+    index = RetrievalIndex(vectors, [f"img_{i}" for i in range(n_img)])
 
-    query = blob_image(3)  # same scene as gallery img_3
+    query = blob_image(3, h, w)  # same scene as gallery img_3
     results = index.query(encoder, query, k=3)[0]
     print("top-3:", [(p, round(s, 4)) for p, s in results])
     assert results[0][0] == "img_3"
@@ -53,7 +60,7 @@ def main():
     # projection and rescore only the top candidates exactly (~500x less
     # scan traffic at 131k-D VLAD dims; recall tunable via rerank).
     screened = RetrievalIndex(
-        vectors, [f"img_{i}" for i in range(12)],
+        vectors, [f"img_{i}" for i in range(n_img)],
         quantize="int8", screen_dim=64, rerank=6,
     )
     results = screened.query(encoder, query, k=3)[0]

@@ -71,6 +71,20 @@ def _hat(x):
     return jnp.maximum(0.0, 1.0 - jnp.abs(x))
 
 
+def _window_coords(nh8: int, lw: int):
+    """Candidate-invariant window pixel coordinates for a radius class:
+    (row_c, col_c) f32 grids of the folded (nh8, lw) window. Hoisted out
+    of the per-candidate math (round 5): inside the unrolled _G-candidate
+    loop each candidate sits in its own predicated region, so Mosaic does
+    not CSE these ~8 iota/int ops across candidates — computing them once
+    per grid step saves that work 7/8ths of the time."""
+    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
+    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
+    row_c = (8 * i0g + (qg % 8)).astype(jnp.float32)
+    col_c = (qg // 8).astype(jnp.float32)
+    return row_c, col_c
+
+
 def _desc_accumulate(rbin, cbin, pos_o, mag, *, nh8: int):
     """Histogram accumulation over the window's nh8 row-chunks: returns
     the raw (4, 32) = (r, c*8+o) descriptor grid.
@@ -160,11 +174,12 @@ def _desc_accumulate_wide(rbin, cbin, pos_o, mag, *, nh8: int):
         hrc = _hat(rc - k8)
         hr4m = (hrc[:_D] * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
         do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)
-        wo8 = (jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
-               .astype(jnp.bfloat16))
-        hc4 = hrc[_D:].astype(jnp.bfloat16)
+        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+        # product in f32 then one cast, matching the split/merged baselines'
+        # rounding order so an A/B delta isolates the contraction
+        # restructure itself (ADVICE r4)
         w32 = (jnp.tile(wo8, (_D, 1))
-               * jnp.repeat(hc4, _N, axis=0))  # (32, lw) bf16
+               * jnp.repeat(hrc[_D:], _N, axis=0)).astype(jnp.bfloat16)
         acc = acc + jax.lax.dot_general(
             hr4m, w32, (((1,), (1,)), ((), ())),
             preferred_element_type=f32)
@@ -172,19 +187,17 @@ def _desc_accumulate_wide(rbin, cbin, pos_o, mag, *, nh8: int):
 
 
 def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
-                          *, radius: int, nh8: int, lw: int,
+                          coords, *, radius: int, nh8: int, lw: int,
                           accumulate=_desc_accumulate):
     """OpenCV calcSIFTDescriptor math over one (nh8, lw) mag/ang window.
     Mirrors ops/sift.py::_descriptor (see its comments); all masks are
     window-relative so alignment residuals (s0 rows, cres cols) need no
-    extraction. Returns the (4, 32) = (r, c*8+o) descriptor grid,
+    extraction. ``coords`` is the hoisted (row_c, col_c) pair from
+    _window_coords. Returns the (4, 32) = (r, c*8+o) descriptor grid,
     already normalized and rounded (row-major flatten is the standard
     SIFT 128-D layout)."""
     f32 = jnp.float32
-    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
-    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
-    row_c = (8 * i0g + (qg % 8)).astype(f32)
-    col_c = (qg // 8).astype(f32)
+    row_c, col_c = coords
     R = float(radius)
     ii = row_c - (s0 + R)
     jj = col_c - (R + cres)  # col = ws16 + q//8 = ws - cres + q//8
@@ -198,18 +211,25 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
 
     rr = r + ii
     cc = c + jj
+    # Window bound (|ii| <= R) and gaussian-support bound
+    # (|ii| <= radius_f) fused through one scalar min: ii/jj, R, and
+    # radius_f are all exactly representable integers in f32 (row_c,
+    # s0, cres, R integral; radius_f a jnp.round output), so
+    # |x| <= min(R, rf) has bit-identical truth values to
+    # (x >= -R) & (x <= R) & (|x| <= rf) — 5 fewer vector ops per
+    # candidate, verified by the kernel-vs-XLA bit-parity gates.
+    m_eff = jnp.minimum(R, radius_f)  # scalar
     inb = (
-        (ii >= -R) & (ii <= R) & (jj >= -R) & (jj <= R)
+        (jnp.abs(ii) <= m_eff) & (jnp.abs(jj) <= m_eff)
         & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
     )
-    in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
 
     c_rot = jj * cos_t - ii * sin_t
     r_rot = jj * sin_t + ii * cos_t
     rbin = r_rot + _D / 2 - 0.5
     cbin = c_rot + _D / 2 - 0.5
     ok = (
-        in_radius & inb
+        inb
         & (rbin > -1.0) & (rbin < _D) & (cbin > -1.0) & (cbin < _D)
     )
     obin = (ang - theta) * bins_per_rad
@@ -217,10 +237,11 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     mag = mag_w * wgt * ok.astype(f32)
 
     # obin mod 8 as a pure-float wrap: obin * 0.125 is exact (power-of-two
-    # scale), floor/8*floor exact, so the subtraction is the single
-    # rounding — bit-identical to the int-cast floor/mod/mod chain it
-    # replaces (of_ = obin - floor(obin) is exact by Sterbenz, and both
-    # forms then round the same real number once), at 4 VPU ops vs ~8.
+    # scale), so the final subtraction is the only rounding — equivalent
+    # to the int-cast floor/mod/mod chain it replaces within 1 ulp (single
+    # rounding here vs double rounding there; ~0.2% of f32 inputs differ
+    # by 1 ulp, max ~5e-7, which vanishes under the descriptor's integer
+    # rounding), at 4 VPU ops vs ~8.
     pos_o = obin - 8.0 * jnp.floor(obin * 0.125)
 
     vec = accumulate(rbin, cbin, pos_o, mag, nh8=nh8)
@@ -234,9 +255,10 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
 
 
 def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
-                 radius: int, nh8: int, lw: int,
+                 radius: int, nh8: int, lw: int, depth: int = 2,
                  accumulate=_desc_accumulate):
-    """_G candidates per grid step, group-double-buffered DMAs.
+    """_G candidates per grid step, group-buffered DMAs (``depth`` groups
+    of window copies in flight; 2 = classic double buffering).
 
     iref (8, n) int32 scalar-prefetch rows:
       0 window start row in the flat (rows, 2, W*8) atlas (one DMA
@@ -271,11 +293,16 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
     @pl.when(i == 0)
     def _():
         start(0, 0)
+        for g in range(1, depth - 1):
+            @pl.when(g < n)
+            def _(g=g):
+                start(g % depth, g)
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + depth - 1 < n)
     def _():
-        start((i + 1) % 2, i + 1)
+        start((i + depth - 1) % depth, i + depth - 1)
 
+    coords = _window_coords(nh8, lw)
     for k in range(_G):
         j = i * _G + k
         active = iref[2, j] > 0
@@ -286,26 +313,30 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
 
         @pl.when(active)
         def _():
-            mk(i % 2, i, k).wait()
-            mag_w = sb[i % 2, k, :, 0, :].astype(f32)  # (nh8, lw)
-            ang = sb[i % 2, k, :, 1, :].astype(f32)
+            mk(i % depth, i, k).wait()
+            mag_w = sb[i % depth, k, :, 0, :].astype(f32)  # (nh8, lw)
+            ang = sb[i % depth, k, :, 1, :].astype(f32)
             out_ref[k] = _candidate_descriptor(
                 mag_w, ang,
                 fref[0, j], fref[1, j], fref[2, j], fref[3, j],
                 fref[4, j], fref[5, j],
                 iref[3, j].astype(f32), iref[4, j].astype(f32),
+                coords,
                 radius=radius, nh8=nh8, lw=lw, accumulate=accumulate)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "interpret", "accumulate"))
+    jax.jit, static_argnames=("radius", "interpret", "accumulate", "depth"))
 def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
                            interpret: bool = False,
-                           accumulate=_desc_accumulate):
+                           accumulate=_desc_accumulate,
+                           depth: int = 2):
     """Run the fused descriptor kernel over a candidate chunk.
 
     atlas_flat: (rows, 2, W8) folded atlas view (see ops/sift.py).
     ints: (8, n) int32 (see _desc_kernel). flts: (n, 8) float32.
+    ``depth`` window-copy groups stay in flight (A/B knob; see
+    docs/PERF.md round 5).
     Returns (n, 128) float32 descriptors (zeros for inactive rows).
     """
     n = ints.shape[1]
@@ -321,12 +352,12 @@ def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
         out_specs=pl.BlockSpec((_G, _D, 4 * _N), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
-            pltpu.SemaphoreType.DMA((2, _G)),
+            pltpu.VMEM((depth, _G, nh8, 2, lw), atlas_flat.dtype),
+            pltpu.SemaphoreType.DMA((depth, _G)),
         ],
     )
     kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw,
-                             accumulate=accumulate)
+                             depth=depth, accumulate=accumulate)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, _D, 4 * _N), jnp.float32),
@@ -354,16 +385,14 @@ def _pick36(h, idx_row):
 
 
 def _candidate_ori_hist(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
-                        s0, cres, *, radius: int, nh8: int, lw: int):
+                        s0, cres, coords, *, radius: int, nh8: int, lw: int):
     """OpenCV dominant-orientation raw histogram over one (nh8, lw)
-    mag/ang window; mirrors ops/sift.py::_orientation. Returns the
+    mag/ang window; mirrors ops/sift.py::_orientation. ``coords`` is the
+    hoisted (row_c, col_c) pair from _window_coords. Returns the
     unsmoothed (36, 1) histogram — smoothing/peak-finding runs once per
     grid step over all _G candidates (_group_ori_peaks)."""
     f32 = jnp.float32
-    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 0)
-    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, lw), 1)
-    row_c = (8 * i0g + (qg % 8)).astype(f32)
-    col_c = (qg // 8).astype(f32)
+    row_c, col_c = coords
     R = float(radius)
     ii = row_c - (s0 + R)
     jj = col_c - (R + cres)
@@ -373,11 +402,13 @@ def _candidate_ori_hist(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
     rr = r + ii
     cc = c + jj
+    # fused window/support bound via scalar min — bit-equivalent; see
+    # the identical rewrite in _candidate_descriptor
+    m_eff = jnp.minimum(R, radius_f)
     inb = (
-        (ii >= -R) & (ii <= R) & (jj >= -R) & (jj <= R)
-        & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
+        (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
     )
-    in_radius = (jnp.abs(ii) <= radius_f) & (jnp.abs(jj) <= radius_f)
+    in_radius = (jnp.abs(ii) <= m_eff) & (jnp.abs(jj) <= m_eff)
     wm = jnp.exp((ii * ii + jj * jj) * exp_scale) \
         * (inb & in_radius).astype(f32) * mag_w
 
@@ -443,7 +474,7 @@ def _group_ori_peaks(hist, G):
 
 
 def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, hist_sc, *,
-                radius: int, nh8: int, lw: int):
+                radius: int, nh8: int, lw: int, depth: int = 2):
     """Same scaffold as _desc_kernel; raw histograms land per candidate
     in the (36, _G) hist_sc scratch (candidates on lanes), then ONE
     vectorized smoothing/peak pass per grid step writes the (3, _G) out
@@ -471,11 +502,16 @@ def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, hist_sc, *,
     @pl.when(i == 0)
     def _():
         start(0, 0)
+        for g in range(1, depth - 1):
+            @pl.when(g < n)
+            def _(g=g):
+                start(g % depth, g)
 
-    @pl.when(i + 1 < n)
+    @pl.when(i + depth - 1 < n)
     def _():
-        start((i + 1) % 2, i + 1)
+        start((i + depth - 1) % depth, i + depth - 1)
 
+    coords = _window_coords(nh8, lw)
     for k in range(_G):
         j = i * _G + k
         active = iref[2, j] > 0
@@ -486,14 +522,15 @@ def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, hist_sc, *,
 
         @pl.when(active)
         def _():
-            mk(i % 2, i, k).wait()
-            mag_w = sb[i % 2, k, :, 0, :].astype(f32)
-            ang = sb[i % 2, k, :, 1, :].astype(f32)
+            mk(i % depth, i, k).wait()
+            mag_w = sb[i % depth, k, :, 0, :].astype(f32)
+            ang = sb[i % depth, k, :, 1, :].astype(f32)
             hist_sc[:, k:k + 1] = _candidate_ori_hist(
                 mag_w, ang,
                 fref[0, j], fref[1, j], fref[2, j], fref[3, j],
                 fref[4, j], fref[5, j],
                 iref[3, j].astype(f32), iref[4, j].astype(f32),
+                coords,
                 radius=radius, nh8=nh8, lw=lw)
 
     theta, theta2, hs = _group_ori_peaks(hist_sc[:, :], _G)
@@ -501,9 +538,9 @@ def _ori_kernel(iref, fref, atlas_ref, out_ref, sb, sems, hist_sc, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "interpret"))
+    jax.jit, static_argnames=("radius", "interpret", "depth"))
 def orientation_window_pass(atlas_flat, ints, flts, *, radius: int,
-                            interpret: bool = False):
+                            interpret: bool = False, depth: int = 2):
     """Run the fused orientation kernel over a candidate chunk.
     Same operands as descriptor_window_pass; returns (theta, theta2,
     has_second) arrays of shape (n,)."""
@@ -520,12 +557,13 @@ def orientation_window_pass(atlas_flat, ints, flts, *, radius: int,
         out_specs=pl.BlockSpec((1, 3, _G), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, _G, nh8, 2, lw), atlas_flat.dtype),
-            pltpu.SemaphoreType.DMA((2, _G)),
+            pltpu.VMEM((depth, _G, nh8, 2, lw), atlas_flat.dtype),
+            pltpu.SemaphoreType.DMA((depth, _G)),
             pltpu.VMEM((36, _G), jnp.float32),
         ],
     )
-    kern = functools.partial(_ori_kernel, radius=radius, nh8=nh8, lw=lw)
+    kern = functools.partial(_ori_kernel, radius=radius, nh8=nh8, lw=lw,
+                             depth=depth)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad // _G, 3, _G), jnp.float32),

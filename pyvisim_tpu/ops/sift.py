@@ -765,10 +765,11 @@ def _descriptor(stacks, h, w, pad, layer, r, c, scl_oct, theta, valid,
     # dominated the stage). Orientation uses pos = o0 + frac with o0 the
     # int-wrapped floor (OpenCV's decomposition), bins 0..9 with the
     # circular border folded below.
-    # obin mod 8 as a pure-float wrap (bit-identical to the int-cast
-    # floor/mod/mod decomposition: obin * 0.125 and the floors are exact,
-    # so both forms round the same real number once; see the kernel twin
-    # in ops/pallas/sift_window.py).
+    # obin mod 8 as a pure-float wrap — equivalent to the int-cast
+    # floor/mod/mod decomposition within 1 ulp (this form rounds once
+    # where the old chain rounded twice; ~0.2% of f32 inputs differ by
+    # 1 ulp, which vanishes under the descriptor's integer rounding; see
+    # the kernel twin in ops/pallas/sift_window.py).
     pos_o = obin - float(n) * jnp.floor(obin * (1.0 / n))  # n = 8 = 2**3
 
     k36 = np.arange((d + 2) * (d + 2))

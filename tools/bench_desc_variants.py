@@ -10,6 +10,7 @@ Run on the real TPU chip; give it a generous timeout (first compile of
 each variant is ~20-40 s).
 """
 import json
+import os
 import pathlib
 import sys
 import time
@@ -53,13 +54,17 @@ def make_inputs(radius: int, seed: int = 0):
     return atlas, ints, flts
 
 
+DEPTH = int(os.environ.get("PYVISIM_DESC_DEPTH", "2"))
+
+
 def run_variant(radius, accumulate, atlas, ints, flts):
     @jax.jit
     def loop(atlas0, ints0, flts0):
         def body(carry, step):
             f = flts0.at[:, 1].add(1e-6 * step.astype(jnp.float32))
             out = W.descriptor_window_pass(
-                atlas0, ints0, f, radius=radius, accumulate=accumulate)
+                atlas0, ints0, f, radius=radius, accumulate=accumulate,
+                depth=DEPTH)
             return carry + out.sum(), None
 
         tot, _ = jax.lax.scan(
@@ -144,11 +149,12 @@ def main():
             accumulate=W._desc_accumulate_split))
         for name, fn in VARIANTS.items():
             got = np.asarray(W.descriptor_window_pass(
-                atlas, ints, flts, radius=radius, accumulate=fn))
+                atlas, ints, flts, radius=radius, accumulate=fn,
+                depth=DEPTH))
             dmax = float(np.abs(got - base).max())
             us = run_variant(radius, fn, atlas, ints, flts)
             print(json.dumps({
-                "radius": radius, "variant": name,
+                "radius": radius, "variant": name, "depth": DEPTH,
                 "us_per_cand": round(us, 3), "max_abs_diff": dmax,
             }), flush=True)
 
