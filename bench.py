@@ -19,7 +19,8 @@ Env knobs: PYVISIM_BENCH_BATCH (default 128), PYVISIM_BENCH_DTYPE
 middle convs on the chip's int8 path), PYVISIM_BENCH_STEPS (default 20),
 PYVISIM_BENCH_METRIC=throughput|latency (default throughput; latency
 measures p50 single-query encode + gallery-search time, the BASELINE.md
-"p50 query latency" row).
+"p50 query latency" row; sift|sift_e2e|encode_map|deep_e2e|serving_qps
+select the other metric families — see each *_main docstring).
 """
 from __future__ import annotations
 
@@ -170,6 +171,56 @@ def encode_map_main() -> None:
     )
 
 
+def deep_e2e_main() -> None:
+    """END-TO-END deep-feature gallery encoding: host uint8 RGB batches
+    -> ``VLADEncoder(DeepConvFeature).encode`` -> host numpy encodings,
+    INCLUDING the host->device image upload and host materialization each
+    call pays in production (PYVISIM_BENCH_METRIC=deep_e2e). The headline
+    ``throughput`` metric times the same graph on a device-resident batch
+    (multi-GB H2D through this relay is forbidden; CLAUDE.md) — this is
+    its ingest-included twin, the deep-family analogue of ``encode_map``
+    vs ``sift``. On this image's ~50 MB/s relay the uint8 wire
+    (~150 KB/img) bounds the number; on directly-attached hardware PCIe
+    moves the same bytes at >10 GB/s and the device graph dominates."""
+    import jax.numpy as jnp
+
+    from pyvisim_tpu.encoders import VLADEncoder
+    from pyvisim_tpu.features import DeepConvFeature
+    from pyvisim_tpu.ops.codebooks import KMeansCodebook
+
+    batch = int(os.environ.get("PYVISIM_BENCH_BATCH", "64"))
+    steps = int(os.environ.get("PYVISIM_BENCH_STEPS", "3"))
+    dtype_name = os.environ.get("PYVISIM_BENCH_DTYPE", "int8")
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    ext = DeepConvFeature(
+        cfg_name="vgg16", image_size=224, spatial_encoding=True, dtype=dtype,
+        int8=(dtype_name == "int8"),
+    )
+    rng = np.random.default_rng(0)
+    centers = jnp.asarray(rng.normal(size=(256, 514)).astype(np.float32))
+    enc = VLADEncoder(feature_extractor=ext,
+                      kmeans_model=KMeansCodebook(centers))
+    imgs = [(rng.random((224, 224, 3)) * 255).astype(np.uint8)
+            for _ in range(batch)]
+    out = enc.encode(imgs)  # compile + warm
+    assert out.shape == (batch, 256 * 514)
+    t0 = time.time()
+    for _ in range(steps):
+        out = enc.encode(imgs)  # returns host numpy: true end-to-end
+    img_s = batch * steps / (time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "metric": "deep_vlad_encode_e2e_throughput",
+                "value": round(img_s, 1),
+                "unit": "images/sec/chip",
+                # no reference throughput figure exists for its torch path
+                "vs_baseline": 0.0,
+            }
+        )
+    )
+
+
 def latency_main() -> None:
     """p50 end-to-end query latency: encode ONE image (VGG16 -> VLAD-k256)
     and rank it against a 6,149-vector gallery (Oxford-102 train size)."""
@@ -306,6 +357,9 @@ def main() -> None:
         return
     if metric == "encode_map":
         encode_map_main()
+        return
+    if metric == "deep_e2e":
+        deep_e2e_main()
         return
     import jax
     import jax.numpy as jnp

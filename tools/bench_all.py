@@ -18,8 +18,8 @@ import subprocess
 import sys
 import time
 
-METRICS = ("throughput", "sift", "sift_e2e", "encode_map", "latency",
-           "serving_qps")
+METRICS = ("throughput", "sift", "sift_e2e", "encode_map", "deep_e2e",
+           "latency", "serving_qps")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -139,6 +139,8 @@ def main_big() -> None:
         ("big_int8_exact", dict(quantize="int8")),
         ("big_int8_screen256_rerank64",
          dict(quantize="int8", screen_dim=256, rerank=64)),
+        ("big_int8_screen256_rerank128",  # the shipped default
+         dict(quantize="int8", screen_dim=256, rerank=128)),
     ):
         t0 = time.perf_counter()
         idx = build(**kw)
