@@ -10,15 +10,24 @@ implementation and both are cross-checked in tests/test_pallas.py.
 Why a kernel: the XLA descriptor pass materializes its per-chunk
 ``(chunk, 36, n_pix)`` trilinear-weight tensors in HBM between the build
 and the contraction, and pays vmapped-``dynamic_slice`` latency per
-window gather. Here each grid step DMAs a GROUP of 8 candidates'
+window gather. Here each grid step DMAs a GROUP of candidates'
 folded-atlas windows straight into VMEM (group-double-buffered: group
 i+1's copies are in flight while group i computes), builds the
 hat-function weights row-chunk by row-chunk, and accumulates each
 (4, 32) = (r, c*8+o) histogram in registers — descriptors leave the
-kernel as the only HBM write. The 8-candidate grouping amortizes the per-grid-step
-pipeline overhead, measured at ~1.7 us/step with per-candidate steps
-(docs/PERF.md round 3); per-candidate scalars ride the scalar-prefetch
-SMEM arrays, so no per-step operand blocks remain.
+kernel as the only HBM write. The candidate grouping amortizes the
+per-grid-step pipeline overhead, measured at ~1.7 us/step with
+per-candidate steps (docs/PERF.md round 3); per-candidate scalars ride
+the scalar-prefetch SMEM arrays, so no per-step operand blocks remain.
+
+Two descriptor-kernel layouts exist (round 5): the per-candidate kernel
+(_desc_kernel — each candidate's window scaffold in its own predicated
+region, scratch (depth, G, nh8, 2, lw)) and the production lane-GANGED
+kernel for the small radius classes (_desc_kernel_gang — all windows of
+a group side by side on the lane axis, ONE batched scaffold per grid
+step; scratch (depth, nh8, 2, G*lw)). ``descriptor_window_pass(gang=
+None)`` picks per measured radius-class winner; both are bit-identical
+to the XLA path (tests/test_pallas.py).
 
 Geometry mirrors ``ops/sift.py::_magang_window``: the atlas folds each
 8-row chunk into the minor axis ((..., H8, 2, W*8), element
@@ -196,7 +205,6 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     _window_coords. Returns the (4, 32) = (r, c*8+o) descriptor grid,
     already normalized and rounded (row-major flatten is the standard
     SIFT 128-D layout)."""
-    f32 = jnp.float32
     row_c, col_c = coords
     R = float(radius)
     ii = row_c - (s0 + R)
@@ -209,8 +217,6 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     exp_scale = -1.0 / (_D * _D * 0.5)
     radius_f = jnp.round(hist_width * 1.4142135623730951 * (_D + 1) * 0.5)
 
-    rr = r + ii
-    cc = c + jj
     # Window bound (|ii| <= R) and gaussian-support bound
     # (|ii| <= radius_f) fused through one scalar min: ii/jj, R, and
     # radius_f are all exactly representable integers in f32 (row_c,
@@ -218,23 +224,31 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     # |x| <= min(R, rf) has bit-identical truth values to
     # (x >= -R) & (x <= R) & (|x| <= rf) — 5 fewer vector ops per
     # candidate, verified by the kernel-vs-XLA bit-parity gates.
+    #
+    # Two further mask chains the XLA reference path carries are DROPPED
+    # here, bit-identically (round 5, scaffold-bound ablation):
+    # - the image-interior check (rr/cc within [1, dim-2]): the dense
+    #   atlas zeroes mag on exactly that ring (_magang_stacks) and the
+    #   surrounding pad, so excluded pixels already contribute
+    #   hat * mag = hat * 0 = 0 to every accumulate (ang there is
+    #   finite, so no NaN can propagate through the product);
+    # - the (rbin, cbin) in (-1, 4) window check: the interior-only hat
+    #   build evaluates to exact 0 for every bin when rbin <= -1 or
+    #   rbin >= 4 (hat support is (bin-1, bin+1)), so gated pixels
+    #   produce all-zero rows of hr4m regardless of the gate.
+    # Both removals leave every accumulated term's f32 bits unchanged
+    # (identical nonzero terms, exact +-0 elsewhere, same summation
+    # order) — verified by the kernel-vs-XLA bit-parity gates.
     m_eff = jnp.minimum(R, radius_f)  # scalar
-    inb = (
-        (jnp.abs(ii) <= m_eff) & (jnp.abs(jj) <= m_eff)
-        & (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
-    )
+    ok = (jnp.abs(ii) <= m_eff) & (jnp.abs(jj) <= m_eff)
 
     c_rot = jj * cos_t - ii * sin_t
     r_rot = jj * sin_t + ii * cos_t
     rbin = r_rot + _D / 2 - 0.5
     cbin = c_rot + _D / 2 - 0.5
-    ok = (
-        inb
-        & (rbin > -1.0) & (rbin < _D) & (cbin > -1.0) & (cbin < _D)
-    )
     obin = (ang - theta) * bins_per_rad
     wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
-    mag = mag_w * wgt * ok.astype(f32)
+    mag = jnp.where(ok, mag_w * wgt, 0.0)
 
     # obin mod 8 as a pure-float wrap: obin * 0.125 is exact (power-of-two
     # scale), so the final subtraction is the only rounding — equivalent
@@ -252,6 +266,174 @@ def _candidate_descriptor(mag_w, ang, scl, theta, r, c, h, w_dim, s0, cres,
     nrm2 = jnp.sum(vec * vec)
     scale = 512.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-12)
     return jnp.round(jnp.minimum(vec * scale, 255.0))
+
+
+def _gang_scalar_map(blk, vals):
+    """(1, G*lw) lane map carrying ``vals[k]`` on candidate k's lane
+    block (``blk`` = lane // lw int32 iota). G where-ops on one thin
+    row — the price of batching per-candidate scalars into the gang
+    scaffold (see _desc_kernel_gang)."""
+    m = jnp.zeros(blk.shape, jnp.float32)
+    for k, v in enumerate(vals):
+        m = jnp.where(blk == k, v, m)
+    return m
+
+
+def _desc_kernel_gang(iref, fref, atlas_ref, out_ref, sb, sems, *,
+                      radius: int, nh8: int, lw: int, depth: int = 2,
+                      grp: int = _G, skip_dma: bool = False,
+                      skip_loop: bool = False):
+    """Lane-ganged variant of _desc_kernel: the _G candidates' windows
+    land side by side on the LANE axis (scratch (depth, nh8, 2, _G*lw),
+    window k on lanes [k*lw, (k+1)*lw)), and the per-candidate window
+    scaffold — geometry, rotation, masks, exp, orientation wrap — runs
+    ONCE per grid step as (nh8, _G*lw) ops instead of _G separate
+    predicated regions. Round-5 motivation: the official metric stayed
+    flat (126 -> 125 img/s) after deleting ~17 scaffold ops/candidate,
+    so the descriptor pass is bound by per-candidate region issue
+    overhead, not vector-op count; ganging divides that overhead by _G.
+
+    Bit parity with the per-candidate kernel: every scaffold op is
+    lane-local with identical per-lane operands (per-candidate scalars
+    enter via exact lane-block selects), the hat builds batch the same
+    way, and the MXU dots contract the same (4, lw)x(lw, 8) per-candidate
+    lane slices in the same order — verified by
+    tests/test_pallas.py::test_sift_descriptor_window_kernel_matches_xla
+    (gang vs XLA) and the harness fidelity column (gang vs split).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    f32 = jnp.float32
+
+    def mk(slot, g, k):
+        j = g * grp + k
+        return pltpu.make_async_copy(
+            atlas_ref.at[
+                pl.ds(iref[0, j], nh8), :,
+                pl.ds(pl.multiple_of(iref[5, j], 128), lw)],
+            sb.at[slot, :, :, k * lw:(k + 1) * lw],
+            sems.at[slot, k],
+        )
+
+    def start(slot, g):
+        for k in range(grp):
+            @pl.when(iref[2, g * grp + k] > 0)
+            def _():
+                mk(slot, g, k).start()
+
+    if not skip_dma:  # skip_dma = floor ablation: no copies/waits,
+        # compute runs on stale VMEM (harness-only, outputs garbage)
+        @pl.when(i == 0)
+        def _():
+            start(0, 0)
+            for g in range(1, depth - 1):
+                @pl.when(g < n)
+                def _(g=g):
+                    start(g % depth, g)
+
+        @pl.when(i + depth - 1 < n)
+        def _():
+            start((i + depth - 1) % depth, i + depth - 1)
+
+        for k in range(grp):
+            @pl.when(iref[2, i * grp + k] > 0)
+            def _(k=k):
+                mk(i % depth, i, k).wait()
+
+    # --- batched scaffold over all _G windows ------------------------
+    glw = grp * lw
+    i0g = jax.lax.broadcasted_iota(jnp.int32, (nh8, glw), 0)
+    qg = jax.lax.broadcasted_iota(jnp.int32, (nh8, glw), 1)
+    lane = qg % lw  # candidate-relative lane (lw is a multiple of 128)
+    row_c = (8 * i0g + (lane % 8)).astype(f32)
+    col_c = (lane // 8).astype(f32)
+    blk = qg // lw  # candidate index per lane block
+
+    R = float(radius)
+    a_v, b_v, cos_v, sin_v, th_v, me_v = [], [], [], [], [], []
+    for k in range(grp):
+        j = i * grp + k
+        scl, theta = fref[0, j], fref[1, j]
+        hist_width = 3.0 * scl
+        a_v.append(iref[3, j].astype(f32) + R)      # s0 + R
+        b_v.append(R + iref[4, j].astype(f32))      # R + cres
+        cos_v.append(jnp.cos(theta) / hist_width)
+        sin_v.append(jnp.sin(theta) / hist_width)
+        th_v.append(theta)
+        radius_f = jnp.round(
+            hist_width * 1.4142135623730951 * (_D + 1) * 0.5)
+        me_v.append(jnp.minimum(R, radius_f))
+    a_m = _gang_scalar_map(blk[:1], a_v)
+    b_m = _gang_scalar_map(blk[:1], b_v)
+    cos_m = _gang_scalar_map(blk[:1], cos_v)
+    sin_m = _gang_scalar_map(blk[:1], sin_v)
+    th_m = _gang_scalar_map(blk[:1], th_v)
+    me_m = _gang_scalar_map(blk[:1], me_v)
+
+    mag_w = sb[i % depth, :, 0, :].astype(f32)  # (nh8, glw)
+    ang = sb[i % depth, :, 1, :].astype(f32)
+
+    ii = row_c - a_m
+    jj = col_c - b_m
+    # mask semantics identical to _candidate_descriptor (see its
+    # comment block: image-bound and rbin/cbin checks dropped
+    # bit-identically against the ring-zeroed atlas)
+    ok = (jnp.abs(ii) <= me_m) & (jnp.abs(jj) <= me_m)
+    c_rot = jj * cos_m - ii * sin_m
+    r_rot = jj * sin_m + ii * cos_m
+    rbin = r_rot + _D / 2 - 0.5
+    cbin = c_rot + _D / 2 - 0.5
+    obin = (ang - th_m) * (_N / (2.0 * np.pi))
+    exp_scale = -1.0 / (_D * _D * 0.5)
+    wgt = jnp.exp((c_rot * c_rot + r_rot * r_rot) * exp_scale)
+    mag = jnp.where(ok, mag_w * wgt, 0.0)
+    pos_o = obin - 8.0 * jnp.floor(obin * 0.125)
+
+    # --- batched hat builds, wide accumulate: ONE (4, lw)x(lw, 32)
+    # MXU dot per (chunk, candidate) — the wide contraction measured
+    # fastest per-candidate (1.56/1.83 us/cand at R=24/40 vs 1.73/2.17
+    # merged) and is bit-identical since the ADVICE-r4 rounding-order
+    # fix (f32 weight product, one bf16 cast, same per-term bits and
+    # f32 accumulation order as the 4-dot form)
+    ko = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0).astype(f32)
+    k8 = (jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) % _D).astype(f32)
+    rsel = jax.lax.broadcasted_iota(jnp.int32, (_N, 1), 0) < _D
+    acc = [jnp.zeros((_D, _D * _N), f32) for _ in range(grp)]
+    if skip_loop:  # floor ablation: chunk loop deleted, scaffold kept
+        # alive through a lane reduction (harness-only, garbage output)
+        red = jnp.sum(rbin + cbin + pos_o + mag, axis=1, keepdims=True)
+        acc = [a + red[0, 0] * 1e-6 for a in acc]
+    for i0 in range(0 if skip_loop else nh8):
+        rc = jnp.where(rsel, rbin[i0:i0 + 1, :], cbin[i0:i0 + 1, :])
+        hrc = _hat(rc - k8)  # (8, glw)
+        hr4m = (hrc[:_D] * mag[i0:i0 + 1, :]).astype(jnp.bfloat16)
+        do = jnp.abs(pos_o[i0:i0 + 1, :] - ko)
+        wo8 = jnp.maximum(0.0, 1.0 - jnp.minimum(do, float(_N) - do))
+        w32 = (jnp.tile(wo8, (_D, 1))
+               * jnp.repeat(hrc[_D:], _N, axis=0)).astype(jnp.bfloat16)
+        for k in range(grp):
+            acc[k] = acc[k] + jax.lax.dot_general(
+                hr4m[:, k * lw:(k + 1) * lw],
+                w32[:, k * lw:(k + 1) * lw],
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+
+    for k in range(grp):
+        active = iref[2, i * grp + k] > 0
+
+        @pl.when(jnp.logical_not(active))
+        def _(k=k):
+            out_ref[k] = jnp.zeros((_D, 4 * _N), f32)
+
+        @pl.when(active)
+        def _(k=k):
+            vec = acc[k]  # (4, 32)
+            nrm2 = jnp.sum(vec * vec)
+            thr = jnp.sqrt(nrm2) * 0.2
+            vec = jnp.minimum(vec, thr)
+            nrm2 = jnp.sum(vec * vec)
+            scale = 512.0 / jnp.maximum(jnp.sqrt(nrm2), 1e-12)
+            out_ref[k] = jnp.round(jnp.minimum(vec * scale, 255.0))
 
 
 def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
@@ -326,38 +508,64 @@ def _desc_kernel(iref, fref, atlas_ref, out_ref, sb, sems, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("radius", "interpret", "accumulate", "depth"))
+    jax.jit,
+    static_argnames=("radius", "interpret", "accumulate", "depth",
+                     "gang", "group", "skip_dma", "skip_loop"))
 def descriptor_window_pass(atlas_flat, ints, flts, *, radius: int,
                            interpret: bool = False,
-                           accumulate=_desc_accumulate,
-                           depth: int = 2):
+                           accumulate=_desc_accumulate_wide,
+                           depth: int = 2, gang: bool | None = None,
+                           group: int | None = None,
+                           skip_dma: bool = False,
+                           skip_loop: bool = False):
     """Run the fused descriptor kernel over a candidate chunk.
 
     atlas_flat: (rows, 2, W8) folded atlas view (see ops/sift.py).
     ints: (8, n) int32 (see _desc_kernel). flts: (n, 8) float32.
     ``depth`` window-copy groups stay in flight (A/B knob; see
-    docs/PERF.md round 5).
+    docs/PERF.md round 5). ``gang`` selects the lane-ganged kernel
+    (_desc_kernel_gang — one batched scaffold per grid step);
+    gang=None picks the measured-fastest kernel per radius class
+    (gang at R <= 24: 1.42 vs 1.78 us/cand; per-candidate wide
+    accumulate above: 1.83 vs 2.05 at R=40 — the batched (8, G*lw)
+    hat builds outgrow their win at 48-lane-tile widths). gang=False
+    with ``accumulate`` hosts the A/B variants
+    (tools/bench_desc_variants.py).
     Returns (n, 128) float32 descriptors (zeros for inactive rows).
     """
+    if gang is None:
+        gang = radius <= 24
+    # group is a gang-kernel knob; 16 measured fastest for the gang
+    # classes (1.38 vs 1.43 us/cand at G=8, R=24 — halves the per-step
+    # fixed overhead share; docs/PERF.md round 5)
+    grp = (group or 16) if gang else _G
     n = ints.shape[1]
-    n_pad = -(-n // _G) * _G
+    n_pad = -(-n // grp) * grp
     if n_pad != n:
         ints = jnp.pad(ints, ((0, 0), (0, n_pad - n)))
         flts = jnp.pad(flts, ((0, n_pad - n), (0, 0)))
     _, nh8, lw = _window_geom(radius)
+    if gang:  # ``accumulate`` is a per-candidate-kernel knob; the gang
+        # kernel has one (production) accumulate form
+        scratch = pltpu.VMEM((depth, nh8, 2, grp * lw), atlas_flat.dtype)
+        kern = functools.partial(_desc_kernel_gang, radius=radius,
+                                 nh8=nh8, lw=lw, depth=depth, grp=grp,
+                                 skip_dma=skip_dma, skip_loop=skip_loop)
+    else:
+        scratch = pltpu.VMEM((depth, _G, nh8, 2, lw), atlas_flat.dtype)
+        kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8,
+                                 lw=lw, depth=depth, accumulate=accumulate)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_pad // _G,),
+        grid=(n_pad // grp,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((_G, _D, 4 * _N), lambda i, *_: (i, 0, 0),
+        out_specs=pl.BlockSpec((grp, _D, 4 * _N), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((depth, _G, nh8, 2, lw), atlas_flat.dtype),
-            pltpu.SemaphoreType.DMA((depth, _G)),
+            scratch,
+            pltpu.SemaphoreType.DMA((depth, grp)),
         ],
     )
-    kern = functools.partial(_desc_kernel, radius=radius, nh8=nh8, lw=lw,
-                             depth=depth, accumulate=accumulate)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((n_pad, _D, 4 * _N), jnp.float32),
@@ -400,17 +608,17 @@ def _candidate_ori_hist(mag_w, ang, scl, theta_unused, r, c, h, w_dim,
     radius_f = jnp.round(4.5 * scl)  # SIFT_ORI_RADIUS = 3 * 1.5
     sigma_w = 1.5 * scl
     exp_scale = -1.0 / (2.0 * sigma_w * sigma_w)
-    rr = r + ii
-    cc = c + jj
     # fused window/support bound via scalar min — bit-equivalent; see
-    # the identical rewrite in _candidate_descriptor
+    # the identical rewrite in _candidate_descriptor. The image-interior
+    # check (rr/cc within [1, dim-2]) the XLA path carries is dropped
+    # bit-identically: the dense atlas zeroes mag on exactly that ring
+    # (_magang_stacks round 5) and the surrounding pad, so those pixels
+    # contribute exact 0 through the mag_w factor (ang there is finite:
+    # the one-hot row is well-defined and scaled by 0).
     m_eff = jnp.minimum(R, radius_f)
-    inb = (
-        (rr >= 1) & (rr < h - 1) & (cc >= 1) & (cc < w_dim - 1)
-    )
     in_radius = (jnp.abs(ii) <= m_eff) & (jnp.abs(jj) <= m_eff)
-    wm = jnp.exp((ii * ii + jj * jj) * exp_scale) \
-        * (inb & in_radius).astype(f32) * mag_w
+    wm = jnp.where(in_radius,
+                   jnp.exp((ii * ii + jj * jj) * exp_scale) * mag_w, 0.0)
 
     n_bins = 36
     fbin = ang * (n_bins / (2.0 * np.pi))

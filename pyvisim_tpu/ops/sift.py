@@ -573,6 +573,18 @@ def _magang_stacks(gauss: jnp.ndarray, pad: int, dtype=jnp.float32):
     dx = jnp.pad(g[:, :, 2:] - g[:, :, :-2], ((0, 0), (0, 0), (1, 1)))
     dy = jnp.pad(g[:, :-2, :] - g[:, 2:, :], ((0, 0), (1, 1), (0, 0)))
     mag = jnp.sqrt(dx * dx + dy * dy)
+    # Zero the 1-pixel border ring: OpenCV's per-pixel validity check
+    # (r, c within [1, dim-2]) excludes exactly these rows/cols, but the
+    # ring's mag is NOT naturally zero (at r=0 dy=0 yet dx can be
+    # nonzero). With the ring zeroed here (once per dense stack), every
+    # window consumer's image-bound mask becomes redundant — excluded
+    # pixels contribute exact 0 through the magnitude factor — which
+    # lets the Pallas window kernels drop their per-candidate rr/cc
+    # mask chain (~9 window-wide VPU ops/candidate) bit-identically.
+    # The XLA paths keep their inb masks (they are the OpenCV-parity
+    # reference); for them this is a no-op by construction.
+    mag = mag.at[:, 0, :].set(0.0).at[:, -1, :].set(0.0)
+    mag = mag.at[:, :, 0].set(0.0).at[:, :, -1].set(0.0)
     ang = jnp.arctan2(dy, dx)
     widths = ((0, 0), (0, 0), (pad, pad), (pad, pad))
     # bf16 atlas storage halves HBM traffic of the per-candidate slices;

@@ -57,14 +57,14 @@ def make_inputs(radius: int, seed: int = 0):
 DEPTH = int(os.environ.get("PYVISIM_DESC_DEPTH", "2"))
 
 
-def run_variant(radius, accumulate, atlas, ints, flts):
+def run_variant(radius, accumulate, atlas, ints, flts, gang=False, **kw):
     @jax.jit
     def loop(atlas0, ints0, flts0):
         def body(carry, step):
             f = flts0.at[:, 1].add(1e-6 * step.astype(jnp.float32))
             out = W.descriptor_window_pass(
                 atlas0, ints0, f, radius=radius, accumulate=accumulate,
-                depth=DEPTH)
+                depth=DEPTH, gang=gang, **kw)
             return carry + out.sum(), None
 
         tot, _ = jax.lax.scan(
@@ -130,7 +130,19 @@ def _abl_no_dots(rbin, cbin, pos_o, mag, *, nh8):
     return jnp.concatenate(acc, axis=1)
 
 
+# name -> extra descriptor_window_pass kwargs (gang-kernel variants)
+GANG_VARIANTS = {
+    "gang_kernel": {},
+    "gang_g16": {"group": 16},
+    "gang_skip_dma": {"skip_dma": True},  # floor probe: garbage output
+    "gang_skip_loop": {"skip_loop": True},  # floor probe: garbage output
+}
+
 VARIANTS = {
+    "gang_kernel": W._desc_accumulate,  # routed to _desc_kernel_gang
+    "gang_g16": W._desc_accumulate,
+    "gang_skip_dma": W._desc_accumulate,
+    "gang_skip_loop": W._desc_accumulate,
     "split_r3h": W._desc_accumulate_split,
     "merged_hats": W._desc_accumulate,
     "wide_dot": W._desc_accumulate_wide,
@@ -145,14 +157,19 @@ def main():
     for radius in radii:
         atlas, ints, flts = make_inputs(radius)
         base = np.asarray(W.descriptor_window_pass(
-            atlas, ints, flts, radius=radius,
+            atlas, ints, flts, radius=radius, gang=False,
             accumulate=W._desc_accumulate_split))
+        only = os.environ.get("PYVISIM_DESC_ONLY", "")
         for name, fn in VARIANTS.items():
+            if only and name not in only.split(","):
+                continue
+            gang = name in GANG_VARIANTS
+            kw = GANG_VARIANTS.get(name, {})
             got = np.asarray(W.descriptor_window_pass(
                 atlas, ints, flts, radius=radius, accumulate=fn,
-                depth=DEPTH))
+                depth=DEPTH, gang=gang, **kw))
             dmax = float(np.abs(got - base).max())
-            us = run_variant(radius, fn, atlas, ints, flts)
+            us = run_variant(radius, fn, atlas, ints, flts, gang=gang, **kw)
             print(json.dumps({
                 "radius": radius, "variant": name, "depth": DEPTH,
                 "us_per_cand": round(us, 3), "max_abs_diff": dmax,
